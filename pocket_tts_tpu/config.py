@@ -1,0 +1,250 @@
+"""Model / runtime configuration.
+
+Mirrors the reference YAML schema (reference: crates/pocket-tts/src/config.rs:7-115,
+python-reference/pocket_tts/utils/config.py) as plain dataclasses so a reference
+variant YAML (e.g. ``b6369a24``) loads unchanged.  On top of the model schema we add
+a TPU runtime section (static shape budgets, compute dtype, decode chunk schedule)
+that has no reference equivalent — the reference is dynamically shaped on CPU, the
+TPU build compiles fixed-shape programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+# Generation defaults (reference: crates/pocket-tts/src/config.rs:118-124,
+# python-reference/pocket_tts/default_parameters.py).
+DEFAULT_VARIANT = "b6369a24"
+DEFAULT_TEMPERATURE = 0.7
+DEFAULT_LSD_DECODE_STEPS = 1
+DEFAULT_NOISE_CLAMP: float | None = None
+DEFAULT_EOS_THRESHOLD = -4.0
+DEFAULT_AUDIO_PROMPT = "alba"
+
+_CONFIG_DIR = Path(__file__).parent / "assets"
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    dim: int = 512
+    depth: int = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    d_model: int = 1024
+    num_heads: int = 16
+    num_layers: int = 6
+    hidden_scale: int = 4
+    max_period: float = 10000.0
+
+    @property
+    def dim_feedforward(self) -> int:
+        return int(self.d_model * self.hidden_scale)
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class LookupTableConfig:
+    dim: int = 1024
+    n_bins: int = 4000
+    tokenizer: str = "sentencepiece"
+    tokenizer_path: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowLMConfig:
+    dtype: str = "float32"
+    flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+    transformer: TransformerConfig = dataclasses.field(default_factory=TransformerConfig)
+    lookup_table: LookupTableConfig = dataclasses.field(default_factory=LookupTableConfig)
+    weights_path: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class SEANetConfig:
+    dimension: int = 512
+    channels: int = 1
+    n_filters: int = 64
+    n_residual_layers: int = 1
+    ratios: tuple[int, ...] = (6, 5, 4)
+    kernel_size: int = 7
+    residual_kernel_size: int = 3
+    last_kernel_size: int = 3
+    dilation_base: int = 2
+    pad_mode: str = "constant"
+    compress: int = 2
+
+    @property
+    def hop_length(self) -> int:
+        return int(math.prod(self.ratios))
+
+
+@dataclasses.dataclass(frozen=True)
+class MimiTransformerConfig:
+    d_model: int = 512
+    input_dimension: int = 512
+    output_dimensions: tuple[int, ...] = (512,)
+    num_heads: int = 8
+    num_layers: int = 2
+    layer_scale: float = 0.01
+    context: int = 250
+    max_period: float = 10000.0
+    dim_feedforward: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizerConfig:
+    dimension: int = 32
+    output_dimension: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class MimiConfig:
+    dtype: str = "float32"
+    sample_rate: int = 24000
+    channels: int = 1
+    frame_rate: float = 12.5
+    seanet: SEANetConfig = dataclasses.field(default_factory=SEANetConfig)
+    transformer: MimiTransformerConfig = dataclasses.field(
+        default_factory=MimiTransformerConfig
+    )
+    quantizer: QuantizerConfig = dataclasses.field(default_factory=QuantizerConfig)
+    weights_path: str | None = None
+
+    @property
+    def frame_size(self) -> int:
+        # samples of audio per 12.5 Hz latent frame (1920 @ 24 kHz).
+        return int(self.sample_rate / self.frame_rate)
+
+    @property
+    def encoder_frame_rate(self) -> float:
+        return self.sample_rate / self.seanet.hop_length
+
+    @property
+    def resample_stride(self) -> int:
+        # 200 Hz encoder rate -> 12.5 Hz latent rate.
+        stride = self.encoder_frame_rate / self.frame_rate
+        assert stride == int(stride)
+        return int(stride)
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU runtime knobs — no reference equivalent (the reference runs dynamic
+    shapes on CPU; XLA wants one compiled program per shape)."""
+
+    # Compute dtype for matmuls/convs ("bfloat16" or "float32").  Norms, softmax
+    # and the flow integrator always accumulate in float32.
+    compute_dtype: str = "float32"
+    # FlowLM KV-cache capacity: voice-prompt frames + text tokens + latent frames.
+    max_seq: int = 1024
+    # Mimi decoder ring capacity.  Must be a multiple of the per-frame write width
+    # (16) and >= context (250) + 16 so ring writes never wrap.
+    mimi_ring: int = 272
+    # Static bucket sizes for text prefill (token counts).
+    text_buckets: tuple[int, ...] = (8, 16, 32, 64)
+    # Static bucket sizes for voice-prompt conditioning prefill (12.5 Hz frames).
+    prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
+    # Decode chunk schedule: frames generated per device dispatch.  Warm-up with
+    # small chunks for low first-audio latency, then amortize dispatch.
+    decode_chunks: tuple[int, ...] = (2, 4, 8, 16)
+    # Query block for banded (windowed) batch attention in the Mimi encoder.
+    encoder_block: int = 256
+    # Audio-sample bucket sizes for the Mimi encoder (voice cloning), seconds.
+    encode_seconds_buckets: tuple[float, ...] = (2.5, 5.0, 10.0, 20.0, 30.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    flow_lm: FlowLMConfig = dataclasses.field(default_factory=FlowLMConfig)
+    mimi: MimiConfig = dataclasses.field(default_factory=MimiConfig)
+    weights_path: str | None = None
+    weights_path_without_voice_cloning: str | None = None
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+
+def _build(cls, data: dict[str, Any]):
+    kwargs = {}
+    for field in dataclasses.fields(cls):
+        if field.name not in data:
+            continue
+        value = data[field.name]
+        if dataclasses.is_dataclass(field.type) if isinstance(field.type, type) else False:
+            value = _build(field.type, value)
+        kwargs[field.name] = value
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "flow": FlowConfig,
+    "transformer": None,  # context-dependent
+    "lookup_table": LookupTableConfig,
+    "seanet": SEANetConfig,
+    "quantizer": QuantizerConfig,
+    "flow_lm": FlowLMConfig,
+    "mimi": MimiConfig,
+    "runtime": RuntimeConfig,
+}
+
+
+def _from_dict(cls, data: dict[str, Any]):
+    kwargs = {}
+    field_types = {f.name: f.type for f in dataclasses.fields(cls)}
+    for name, value in data.items():
+        if name not in field_types:
+            continue  # tolerate unknown keys (e.g. comments-as-keys)
+        if name == "transformer":
+            sub = TransformerConfig if cls is FlowLMConfig else MimiTransformerConfig
+            value = _from_dict(sub, value)
+        elif name in _NESTED and _NESTED[name] is not None and isinstance(value, dict):
+            value = _from_dict(_NESTED[name], value)
+        elif name in ("ratios", "output_dimensions", "text_buckets", "prompt_buckets",
+                      "decode_chunks", "encode_seconds_buckets") and isinstance(value, list):
+            value = tuple(value)
+        kwargs[name] = value
+    return cls(**kwargs)
+
+
+def load_config(path: str | Path) -> Config:
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Config file not found: {path}")
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return _from_dict(Config, data)
+
+
+def find_config_path(variant: str) -> Path:
+    """Locate a variant YAML.
+
+    Search order mirrors the reference's multi-location discovery
+    (crates/pocket-tts/src/tts_model.rs:1141-1191): package assets, then cwd.
+    """
+    candidates = [
+        _CONFIG_DIR / f"{variant}.yaml",
+        Path.cwd() / f"{variant}.yaml",
+        Path.cwd() / "config" / f"{variant}.yaml",
+    ]
+    for c in candidates:
+        if c.exists():
+            return c
+    raise FileNotFoundError(
+        f"No config found for variant {variant!r}; searched {[str(c) for c in candidates]}"
+    )
+
+
+def load_variant(variant: str = DEFAULT_VARIANT) -> Config:
+    return load_config(find_config_path(variant))

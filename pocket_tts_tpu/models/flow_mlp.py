@@ -1,0 +1,127 @@
+"""Conditional flow network (SimpleMLPAdaLN) + LSD Euler integrator.
+
+Architecture from python-reference/pocket_tts/modules/mlp.py:58-215 and the LSD
+decode loop from python-reference/pocket_tts/models/flow_lm.py:19-40
+(Lagrangian Self Distillation, arXiv 2505.18825).
+
+TPU shaping: the six ResBlocks are stacked and scanned; the two timestep
+embedders depend only on the (static) LSD step schedule, so their sum is
+precomputed once as a ``[num_steps, dim]`` table — inside the per-frame decode
+loop only the cond projection and the block chain run (the same hot-path split
+the reference makes in crates/pocket-tts/src/modules/mlp.rs:296-383).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pocket_tts_tpu.config import FlowConfig
+from pocket_tts_tpu.ops.norms import layer_norm, rms_norm_torchvar
+
+
+def _timestep_embedding(p_te: dict, t: jnp.ndarray, freq_size: int = 256) -> jnp.ndarray:
+    """p_te: one TimestepEmbedder's params; t: [...]-shaped scalar times."""
+    half = freq_size // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[..., None] * freqs
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    h = emb @ p_te["w1"].T + p_te["b1"]
+    h = jax.nn.silu(h)
+    h = h @ p_te["w2"].T + p_te["b2"]
+    return rms_norm_torchvar(h, p_te["alpha"], eps=1e-5)
+
+
+def time_embedding_table(params: dict, num_steps: int) -> jnp.ndarray:
+    """[num_steps, dim] table of (TE_s(s_i) + TE_t(t_i)) / 2 for the LSD schedule
+    s_i = i/N, t_i = (i+1)/N."""
+    steps = jnp.arange(num_steps, dtype=jnp.float32)
+    s = steps / num_steps
+    t = (steps + 1) / num_steps
+    e_s = _timestep_embedding(params["time_embed_0"], s)
+    e_t = _timestep_embedding(params["time_embed_1"], t)
+    return (e_s + e_t) / 2.0
+
+
+def embed_condition(params: dict, cond: jnp.ndarray) -> jnp.ndarray:
+    """cond_embed: [.., cond_dim] -> [.., dim]."""
+    return cond @ params["cond_w"].T + params["cond_b"]
+
+
+def flow_step(params: dict, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """One flow evaluation v = f(y, x): x [B, ldim], y [B, dim] (time + cond)."""
+    h = x @ params["in_w"].T + params["in_b"]
+
+    def block(h, bp):
+        mod = jax.nn.silu(y) @ bp["ada_w"].T + bp["ada_b"]
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+        z = layer_norm(h, bp["ln_w"], bp["ln_b"], eps=1e-6)
+        z = z * (1 + scale) + shift
+        z = z @ bp["mlp1_w"].T + bp["mlp1_b"]
+        z = jax.nn.silu(z)
+        z = z @ bp["mlp2_w"].T + bp["mlp2_b"]
+        return h + gate * z, None
+
+    h, _ = lax.scan(block, h, params["blocks"])
+
+    mod = jax.nn.silu(y) @ params["final_ada_w"].T + params["final_ada_b"]
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    z = layer_norm(h, None, None, eps=1e-6)
+    z = z * (1 + scale) + shift
+    return z @ params["final_w"].T + params["final_b"]
+
+
+def lsd_decode(
+    params: dict,
+    cond_emb: jnp.ndarray,
+    t_emb_table: jnp.ndarray,
+    noise: jnp.ndarray,
+    num_steps: int,
+) -> jnp.ndarray:
+    """Euler-integrate the flow from ``noise`` (python lsd_decode semantics).
+
+    cond_emb: [B, dim] (already cond_embed-projected); t_emb_table: [N, dim].
+    """
+    x = noise.astype(jnp.float32)
+    for i in range(num_steps):
+        y = t_emb_table[i] + cond_emb
+        v = flow_step(params, y, x)
+        x = x + v.astype(jnp.float32) / num_steps
+    return x
+
+
+def init_params(key: jax.Array, cfg: FlowConfig, ldim: int, cond_dim: int) -> dict:
+    dim = cfg.dim
+    ks = iter(jax.random.split(key, 32))
+
+    def lin(shape):
+        bound = 1.0 / math.sqrt(shape[-1])
+        return jax.random.uniform(next(ks), shape, jnp.float32, -bound, bound)
+
+    def te():
+        return {
+            "w1": lin((dim, 256)), "b1": lin((dim, 256))[:, 0] * 0.0,
+            "w2": lin((dim, dim)), "b2": lin((dim, dim))[:, 0] * 0.0,
+            "alpha": jnp.ones((dim,), jnp.float32),
+        }
+
+    blocks = {
+        "ln_w": jnp.ones((cfg.depth, dim)), "ln_b": jnp.zeros((cfg.depth, dim)),
+        "mlp1_w": lin((cfg.depth, dim, dim)), "mlp1_b": jnp.zeros((cfg.depth, dim)),
+        "mlp2_w": lin((cfg.depth, dim, dim)), "mlp2_b": jnp.zeros((cfg.depth, dim)),
+        "ada_w": lin((cfg.depth, 3 * dim, dim)), "ada_b": jnp.zeros((cfg.depth, 3 * dim)),
+    }
+    return {
+        "time_embed_0": te(),
+        "time_embed_1": te(),
+        "cond_w": lin((dim, cond_dim)), "cond_b": jnp.zeros((dim,)),
+        "in_w": lin((dim, ldim)), "in_b": jnp.zeros((dim,)),
+        "blocks": blocks,
+        "final_ada_w": lin((2 * dim, dim)), "final_ada_b": jnp.zeros((2 * dim,)),
+        "final_w": lin((ldim, dim)), "final_b": jnp.zeros((ldim,)),
+    }

@@ -1,0 +1,198 @@
+"""Streaming transformer, stacked-layer formulation.
+
+One parameter pytree holds all layers stacked on a leading axis and the forward
+passes ``lax.scan`` over layers — one compiled layer body instead of L unrolled
+copies (compile-time win; the layers are architecturally identical).
+
+Covers both reference transformers
+(python-reference/pocket_tts/modules/mimi_transformer.py:134-236):
+pre-LN self-attention + GELU FFN with no-bias linears and optional LayerScale.
+Three execution modes:
+
+* ``cache_forward``  — unbounded causal over a dense KV cache (FlowLM backbone).
+* ``ring_forward``   — sliding-window over a ring KV cache (Mimi decoder, streaming).
+* ``batch_forward``  — whole-sequence banded attention, no cache (Mimi encoder).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pocket_tts_tpu.config import MimiTransformerConfig, TransformerConfig
+from pocket_tts_tpu.ops.attention import (
+    banded_attention,
+    cache_write,
+    causal_cache_attention,
+    ring_write,
+    windowed_ring_attention,
+)
+from pocket_tts_tpu.ops.norms import layer_norm
+from pocket_tts_tpu.ops.rope import apply_rope
+
+
+def init_params(
+    key: jax.Array,
+    n_layers: int,
+    d_model: int,
+    d_ff: int,
+    layer_scale: float | None = None,
+    dtype=jnp.float32,
+) -> dict:
+    """Random init (torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)))."""
+    ks = jax.random.split(key, 4)
+
+    def lin(k, shape):
+        bound = 1.0 / jnp.sqrt(jnp.float32(shape[-1]))
+        return jax.random.uniform(k, (n_layers, *shape), dtype, -bound, bound)
+
+    p = {
+        "in_proj": lin(ks[0], (3 * d_model, d_model)),
+        "out_proj": lin(ks[1], (d_model, d_model)),
+        "ff1": lin(ks[2], (d_ff, d_model)),
+        "ff2": lin(ks[3], (d_model, d_ff)),
+        "norm1_w": jnp.ones((n_layers, d_model), dtype),
+        "norm1_b": jnp.zeros((n_layers, d_model), dtype),
+        "norm2_w": jnp.ones((n_layers, d_model), dtype),
+        "norm2_b": jnp.zeros((n_layers, d_model), dtype),
+    }
+    if layer_scale is not None:
+        p["ls1"] = jnp.full((n_layers, d_model), layer_scale, dtype)
+        p["ls2"] = jnp.full((n_layers, d_model), layer_scale, dtype)
+    return p
+
+
+def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
+    b, t, e = x.shape
+    d = e // n_heads
+    xn = layer_norm(x, p_layer["norm1_w"], p_layer["norm1_b"], eps=1e-5)
+    proj = jnp.einsum("bte,pe->btp", xn, p_layer["in_proj"])
+    proj = proj.reshape(b, t, 3, n_heads, d)
+    q, k, v = proj[:, :, 0], proj[:, :, 1], proj[:, :, 2]
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def _post_attn(p_layer: dict, x: jnp.ndarray, attn: jnp.ndarray):
+    b, t = x.shape[:2]
+    update = jnp.einsum("btf,ef->bte", attn.reshape(b, t, -1), p_layer["out_proj"])
+    if "ls1" in p_layer:
+        update = update * p_layer["ls1"].astype(update.dtype)
+    x = x + update
+    xn = layer_norm(x, p_layer["norm2_w"], p_layer["norm2_b"], eps=1e-5)
+    h = jnp.einsum("bte,fe->btf", xn, p_layer["ff1"])
+    h = jax.nn.gelu(h, approximate=False)
+    update = jnp.einsum("btf,ef->bte", h, p_layer["ff2"])
+    if "ls2" in p_layer:
+        update = update * p_layer["ls2"].astype(update.dtype)
+    return x + update
+
+
+def cache_forward(
+    params: dict,
+    n_heads: int,
+    k_cache: jnp.ndarray,  # [L, B, S, H, D]
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,  # [B] int32, shared across layers
+    x: jnp.ndarray,  # [B, T, E]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense-cache causal transformer step; returns (y, k_cache, v_cache)."""
+
+    def layer(x, xs):
+        p_layer, kc, vc = xs
+        q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
+        kc = cache_write(kc, k, pos)
+        vc = cache_write(vc, v, pos)
+        attn = causal_cache_attention(q, kc, vc, pos)
+        return _post_attn(p_layer, x, attn), (kc, vc)
+
+    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache))
+    return y, k_cache, v_cache
+
+
+def ring_forward(
+    params: dict,
+    n_heads: int,
+    context: int,
+    k_cache: jnp.ndarray,  # [L, B, cap, H, D]
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,  # [B]
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    cap = k_cache.shape[2]
+
+    def layer(x, xs):
+        p_layer, kc, vc = xs
+        q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
+        kc = ring_write(kc, k, pos, cap)
+        vc = ring_write(vc, v, pos, cap)
+        attn = windowed_ring_attention(q, kc, vc, pos, context)
+        return _post_attn(p_layer, x, attn), (kc, vc)
+
+    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache))
+    return y, k_cache, v_cache
+
+
+def batch_forward(
+    params: dict,
+    n_heads: int,
+    context: int | None,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Whole-sequence forward from position 0 (model_state=None semantics)."""
+
+    def layer(x, p_layer):
+        q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
+        attn = banded_attention(q, k, v, context, block=block)
+        return _post_attn(p_layer, x, attn), None
+
+    y, _ = lax.scan(layer, x, params)
+    return y
+
+
+def init_cache(
+    n_layers: int, batch: int, capacity: int, n_heads: int, head_dim: int, dtype=jnp.float32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (n_layers, batch, capacity, n_heads, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+# --------------------------------------------------------------------------
+# ProjectedTransformer (Mimi): optional in/out projections around the core,
+# operating on [B, C, T] (python-reference/.../mimi_transformer.py:239-285).
+# --------------------------------------------------------------------------
+
+
+def projected_batch_forward(
+    p: dict, cfg: MimiTransformerConfig, x_bct: jnp.ndarray, cos, sin, block: int = 256
+) -> jnp.ndarray:
+    x = x_bct.transpose(0, 2, 1)
+    if "input_proj" in p:
+        x = jnp.einsum("btc,dc->btd", x, p["input_proj"])
+    y = batch_forward(p["layers"], cfg.num_heads, cfg.context, x, cos, sin, block=block)
+    if "output_proj" in p:
+        y = jnp.einsum("btd,cd->btc", y, p["output_proj"])
+    return y.transpose(0, 2, 1)
+
+
+def projected_ring_forward(
+    p: dict, cfg: MimiTransformerConfig, k_cache, v_cache, pos, x_bct, cos, sin
+):
+    x = x_bct.transpose(0, 2, 1)
+    if "input_proj" in p:
+        x = jnp.einsum("btc,dc->btd", x, p["input_proj"])
+    y, k_cache, v_cache = ring_forward(
+        p["layers"], cfg.num_heads, cfg.context, k_cache, v_cache, pos, x, cos, sin
+    )
+    if "output_proj" in p:
+        y = jnp.einsum("btd,cd->btc", y, p["output_proj"])
+    return y.transpose(0, 2, 1), k_cache, v_cache

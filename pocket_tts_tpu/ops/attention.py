@@ -1,0 +1,171 @@
+"""Attention primitives over static-shape KV caches.
+
+The reference has two cache disciplines (crates/pocket-tts/src/modules/attention.rs):
+a growing contiguous buffer for the FlowLM and a ring buffer for the windowed Mimi
+transformer.  On TPU both become *fixed-capacity* buffers addressed by an integer
+cursor, with validity expressed as masks — no dynamic shapes, no host control flow:
+
+* FlowLM: cache ``[B, H, S, D]``, cursor ``pos``; new KV written at ``pos..pos+T``;
+  key slot ``j`` is visible to query at absolute position ``p`` iff ``j <= p``.
+* Mimi: ring ``[B, H, cap, D]`` with ``cap`` a multiple of the write width so writes
+  never wrap; slot positions are reconstructed from the cursor and masked to the
+  sliding window (the formulation of
+  python-reference/pocket_tts/modules/mimi_transformer.py:29-62,117-127).
+
+Softmax runs in float32.  Masked logits use a large negative constant; fully-masked
+(padded) query rows produce uniform garbage that callers never read.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_NEG = -1e30
+
+
+def _sdpa(q, k, v, mask):
+    """q [B,T,H,D], k/v [B,S,H,D] or [B,H,S,D]=False; mask [B,1,T,S] or [1,1,T,S] bool."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    logits = jnp.where(mask, logits, _NEG)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def cache_write(cache: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    """Write ``new`` [B, T, H, D] into ``cache`` [B, S, H, D] at per-batch offsets
+    ``start`` [B] (int32).  vmapped dynamic_update_slice — per-slot cursors for
+    continuous batching."""
+
+    def one(c, n, s):
+        return lax.dynamic_update_slice(c, n, (s, 0, 0))
+
+    return jax.vmap(one)(cache, new.astype(cache.dtype), start)
+
+
+def causal_cache_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,
+    t_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Causal attention of ``q`` [B,T,H,D] (absolute positions ``pos + i``) against
+    the full cache [B,S,H,D] (new keys already written at ``pos..``).
+
+    ``t_valid`` optionally marks how many of the T queries are real (right-padded
+    prefill); it only tightens the key-visibility bound — padded query rows compute
+    garbage the caller discards.
+    """
+    b, t, h, d = q.shape
+    s = k_cache.shape[1]
+    q_pos = pos[:, None] + jnp.arange(t, dtype=pos.dtype)[None, :]  # [B,T]
+    key_idx = jnp.arange(s, dtype=pos.dtype)[None, None, :]  # [1,1,S]
+    mask = key_idx <= q_pos[:, :, None]  # [B,T,S]
+    return _sdpa(q, k_cache, v_cache, mask[:, None, :, :])
+
+
+def ring_positions(cap: int, pos_new: jnp.ndarray) -> jnp.ndarray:
+    """Absolute position stored in each ring slot, given the cursor *after* the
+    write (``pos_new`` [B]).  Slots not yet written get -1.
+    Mirrors python-reference/pocket_tts/modules/mimi_transformer.py:50-60.
+    """
+    idx = jnp.arange(cap, dtype=pos_new.dtype)[None, :]
+    last = pos_new[:, None] - 1  # absolute position of the last write
+    end_slot = last % cap
+    delta = idx - end_slot
+    positions = jnp.where(delta <= 0, last + delta, last + delta - cap)
+    invalid = idx >= pos_new[:, None]
+    return jnp.where(invalid, -1, positions)
+
+
+def ring_write(cache: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Write ``new`` [B,T,H,D] at ring offset ``pos % cap``.  Requires
+    ``cap % T == 0`` so the write never wraps (enforced by config: ring=272, T=16)."""
+    t = new.shape[1]
+    assert cap % t == 0 or t == cap, (cap, t)
+    return cache_write(cache, new, (pos % cap).astype(jnp.int32))
+
+
+def windowed_ring_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,
+    context: int,
+) -> jnp.ndarray:
+    """Sliding-window attention over a ring cache (new KV already written).
+
+    ``q`` [B,T,H,D] at absolute positions ``pos + i``; cache [B,cap,H,D].
+    Visibility: slot valid, causal, and within ``context`` steps of the query.
+    """
+    b, t, h, d = q.shape
+    cap = k_cache.shape[1]
+    pos_new = pos + t
+    pos_k = ring_positions(cap, pos_new)  # [B,cap]
+    q_pos = pos[:, None] + jnp.arange(t, dtype=pos.dtype)[None, :]  # [B,T]
+    delta = q_pos[:, :, None] - pos_k[:, None, :]  # [B,T,cap]
+    mask = (pos_k[:, None, :] >= 0) & (delta >= 0) & (delta < context)
+    return _sdpa(q, k_cache, v_cache, mask[:, None, :, :])
+
+
+def banded_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    context: int | None,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Whole-sequence causal attention with optional sliding window, blocked over
+    queries so the materialized score tile is ``[B, H, block, block + context]``
+    instead of O(T²).  Used for the Mimi encoder over long voice prompts (the
+    TPU analogue of the reference's tiled prefill sdpa,
+    crates/pocket-tts/src/modules/sdpa.rs:36-126).
+
+    q/k/v: [B, T, H, D] with T a multiple of ``block`` (caller pads).
+    """
+    b, t, h, d = q.shape
+    if context is None or t <= block:
+        idx = jnp.arange(t)
+        mask = idx[None, None, :, None] >= idx[None, None, None, :]
+        if context is not None:
+            mask &= (idx[None, None, :, None] - idx[None, None, None, :]) < context
+        return _sdpa(q, k, v, mask)
+
+    t_real = t
+    if t % block:  # pad to a block multiple; padded keys are masked causally
+        pad = block - t % block
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        t = q.shape[1]
+    # keys needed by query block starting at qs: [qs - ctx_pad, qs + block)
+    ctx_pad = ((context + block - 1) // block) * block
+    k_pad = jnp.pad(k, ((0, 0), (ctx_pad, 0), (0, 0), (0, 0)))
+    v_pad = jnp.pad(v, ((0, 0), (ctx_pad, 0), (0, 0), (0, 0)))
+    span = ctx_pad + block
+    n_blocks = t // block
+
+    def body(carry, i):
+        qs = i * block
+        qb = lax.dynamic_slice_in_dim(q, qs, block, axis=1)
+        kb = lax.dynamic_slice_in_dim(k_pad, qs, span, axis=1)
+        vb = lax.dynamic_slice_in_dim(v_pad, qs, span, axis=1)
+        q_pos = qs + jnp.arange(block)
+        k_pos = qs - ctx_pad + jnp.arange(span)
+        delta = q_pos[:, None] - k_pos[None, :]
+        mask = (delta >= 0) & (k_pos[None, :] >= 0)
+        mask &= delta < context
+        ob = _sdpa(qb, kb, vb, mask[None, None])
+        return carry, ob
+
+    _, blocks = lax.scan(body, None, jnp.arange(n_blocks))
+    # blocks: [n_blocks, B, block, H, D] -> [B, T, H, D]
+    out = blocks.transpose(1, 0, 2, 3, 4).reshape(b, t, h, d)
+    return out[:, :t_real]

@@ -1,0 +1,266 @@
+"""Checkpoint loading: safetensors -> parameter pytree.
+
+Handles the released combined checkpoint (``tts_<variant>.safetensors`` whose keys
+are the oracle ``TTSModel.state_dict()`` names) and the split flow-lm/mimi files
+with their key remaps (reference: python-reference/pocket_tts/utils/weights_loading.py:6-35).
+``hf://owner/repo/file@rev`` URIs resolve through the local HF cache; with no
+network and no cache we fall back to deterministic random init so shape/perf work
+proceeds without the gated weights (reference: crates/pocket-tts/src/weights.rs:19-77).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pocket_tts_tpu.config import Config
+from pocket_tts_tpu.models import flow_lm as flow_lm_mod
+from pocket_tts_tpu.models import mimi as mimi_mod
+from pocket_tts_tpu.models.mimi import MimiPlans
+
+logger = logging.getLogger(__name__)
+
+_HF_RE = re.compile(r"^hf://(?P<repo>[^/]+/[^/]+)/(?P<file>.+?)(@(?P<rev>[^@]+))?$")
+
+
+def resolve_uri(uri: str | Path, *, local_only: bool | None = None) -> Path:
+    """Resolve ``hf://owner/repo/file@rev`` or a local path to a file on disk.
+
+    ``local_only=True`` restricts to the HF cache (no network); default checks
+    cache first and only goes online if POCKET_TTS_ONLINE=1 (this machine has no
+    egress — 5 retries against huggingface.co cost ~40 s per file otherwise).
+    """
+    if isinstance(uri, Path) or not str(uri).startswith("hf://"):
+        return Path(uri)
+    m = _HF_RE.match(str(uri))
+    if not m:
+        raise ValueError(f"Bad hf:// URI: {uri}")
+    from huggingface_hub import hf_hub_download
+
+    kwargs = dict(revision=m["rev"], token=os.environ.get("HF_TOKEN"))
+    if local_only is None:
+        local_only = os.environ.get("POCKET_TTS_ONLINE", "0") != "1"
+    try:
+        return Path(hf_hub_download(m["repo"], m["file"], local_files_only=True, **kwargs))
+    except Exception:
+        if local_only:
+            raise
+    return Path(hf_hub_download(m["repo"], m["file"], **kwargs))
+
+
+def load_safetensors(path: str | Path) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(str(path), framework="numpy") as f:
+        for key in f.keys():
+            t = f.get_tensor(key)
+            if t.dtype != np.float32:  # released checkpoint is bf16
+                t = t.astype(np.float32)
+            out[key] = t
+    return out
+
+
+def _stack(sd: dict, prefix: str, n_layers: int, suffix: str) -> jnp.ndarray:
+    return jnp.stack(
+        [jnp.asarray(sd[f"{prefix}.layers.{i}.{suffix}"]) for i in range(n_layers)]
+    )
+
+
+def convert_transformer(sd: dict, prefix: str, n_layers: int, layer_scale: bool) -> dict:
+    p = {
+        "in_proj": _stack(sd, prefix, n_layers, "self_attn.in_proj.weight"),
+        "out_proj": _stack(sd, prefix, n_layers, "self_attn.out_proj.weight"),
+        "norm1_w": _stack(sd, prefix, n_layers, "norm1.weight"),
+        "norm1_b": _stack(sd, prefix, n_layers, "norm1.bias"),
+        "norm2_w": _stack(sd, prefix, n_layers, "norm2.weight"),
+        "norm2_b": _stack(sd, prefix, n_layers, "norm2.bias"),
+        "ff1": _stack(sd, prefix, n_layers, "linear1.weight"),
+        "ff2": _stack(sd, prefix, n_layers, "linear2.weight"),
+    }
+    if layer_scale:
+        p["ls1"] = _stack(sd, prefix, n_layers, "layer_scale_1.scale")
+        p["ls2"] = _stack(sd, prefix, n_layers, "layer_scale_2.scale")
+    return p
+
+
+def _te(sd: dict, prefix: str) -> dict:
+    return {
+        "w1": jnp.asarray(sd[f"{prefix}.mlp.0.weight"]),
+        "b1": jnp.asarray(sd[f"{prefix}.mlp.0.bias"]),
+        "w2": jnp.asarray(sd[f"{prefix}.mlp.2.weight"]),
+        "b2": jnp.asarray(sd[f"{prefix}.mlp.2.bias"]),
+        "alpha": jnp.asarray(sd[f"{prefix}.mlp.3.alpha"]),
+    }
+
+
+def convert_flow_mlp(sd: dict, prefix: str, depth: int) -> dict:
+    def bstack(suffix):
+        return jnp.stack(
+            [jnp.asarray(sd[f"{prefix}.res_blocks.{i}.{suffix}"]) for i in range(depth)]
+        )
+
+    return {
+        "time_embed_0": _te(sd, f"{prefix}.time_embed.0"),
+        "time_embed_1": _te(sd, f"{prefix}.time_embed.1"),
+        "cond_w": jnp.asarray(sd[f"{prefix}.cond_embed.weight"]),
+        "cond_b": jnp.asarray(sd[f"{prefix}.cond_embed.bias"]),
+        "in_w": jnp.asarray(sd[f"{prefix}.input_proj.weight"]),
+        "in_b": jnp.asarray(sd[f"{prefix}.input_proj.bias"]),
+        "blocks": {
+            "ln_w": bstack("in_ln.weight"),
+            "ln_b": bstack("in_ln.bias"),
+            "mlp1_w": bstack("mlp.0.weight"),
+            "mlp1_b": bstack("mlp.0.bias"),
+            "mlp2_w": bstack("mlp.2.weight"),
+            "mlp2_b": bstack("mlp.2.bias"),
+            "ada_w": bstack("adaLN_modulation.1.weight"),
+            "ada_b": bstack("adaLN_modulation.1.bias"),
+        },
+        "final_ada_w": jnp.asarray(sd[f"{prefix}.final_layer.adaLN_modulation.1.weight"]),
+        "final_ada_b": jnp.asarray(sd[f"{prefix}.final_layer.adaLN_modulation.1.bias"]),
+        "final_w": jnp.asarray(sd[f"{prefix}.final_layer.linear.weight"]),
+        "final_b": jnp.asarray(sd[f"{prefix}.final_layer.linear.bias"]),
+    }
+
+
+def convert_flow_lm(sd: dict, cfg: Config, prefix: str = "flow_lm") -> dict:
+    tcfg = cfg.flow_lm.transformer
+    return {
+        "tf": convert_transformer(sd, f"{prefix}.transformer", tcfg.num_layers,
+                                  layer_scale=False),
+        "flow": convert_flow_mlp(sd, f"{prefix}.flow_net", cfg.flow_lm.flow.depth),
+        "input_w": jnp.asarray(sd[f"{prefix}.input_linear.weight"]),
+        "out_norm_w": jnp.asarray(sd[f"{prefix}.out_norm.weight"]),
+        "out_norm_b": jnp.asarray(sd[f"{prefix}.out_norm.bias"]),
+        "out_eos_w": jnp.asarray(sd[f"{prefix}.out_eos.weight"]),
+        "out_eos_b": jnp.asarray(sd[f"{prefix}.out_eos.bias"]),
+        "bos_emb": jnp.asarray(sd[f"{prefix}.bos_emb"]),
+        "emb_std": jnp.asarray(sd[f"{prefix}.emb_std"]),
+        "emb_mean": jnp.asarray(sd[f"{prefix}.emb_mean"]),
+        "text_embed": jnp.asarray(sd[f"{prefix}.conditioner.embed.weight"]),
+        "speaker_proj": jnp.asarray(sd[f"{prefix}.speaker_proj_weight"]),
+    }
+
+
+def convert_seanet(sd: dict, prefix: str, plan) -> list:
+    params = []
+    for layer in plan:
+        base = f"{prefix}.model.{layer.index}"
+        if layer.kind == "conv":
+            p = {"w": jnp.asarray(sd[f"{base}.conv.weight"])}
+            if f"{base}.conv.bias" in sd:
+                p["b"] = jnp.asarray(sd[f"{base}.conv.bias"])
+        elif layer.kind == "convtr":
+            p = {"w": jnp.asarray(sd[f"{base}.convtr.weight"])}
+            if f"{base}.convtr.bias" in sd:
+                p["b"] = jnp.asarray(sd[f"{base}.convtr.bias"])
+        elif layer.kind == "res":
+            p = {}
+            for name, tidx in (("conv0", 1), ("conv1", 3)):
+                sub = {"w": jnp.asarray(sd[f"{base}.block.{tidx}.conv.weight"])}
+                if f"{base}.block.{tidx}.conv.bias" in sd:
+                    sub["b"] = jnp.asarray(sd[f"{base}.block.{tidx}.conv.bias"])
+                p[name] = sub
+        else:
+            p = {}
+        params.append(p)
+    return params
+
+
+def convert_mimi(sd: dict, plans: MimiPlans, prefix: str = "mimi") -> dict:
+    tcfg = plans.cfg.transformer
+    return {
+        "encoder": convert_seanet(sd, f"{prefix}.encoder", plans.encoder),
+        "decoder": convert_seanet(sd, f"{prefix}.decoder", plans.decoder),
+        "enc_tf": {"layers": convert_transformer(
+            sd, f"{prefix}.encoder_transformer.transformer", tcfg.num_layers, True)},
+        "dec_tf": {"layers": convert_transformer(
+            sd, f"{prefix}.decoder_transformer.transformer", tcfg.num_layers, True)},
+        "quantizer_w": jnp.asarray(sd[f"{prefix}.quantizer.output_proj.weight"]),
+        "downsample_w": jnp.asarray(sd[f"{prefix}.downsample.conv.conv.weight"]),
+        "upsample_w": jnp.asarray(sd[f"{prefix}.upsample.convtr.convtr.weight"]),
+    }
+
+
+def convert_tts_state_dict(sd: dict, cfg: Config, plans: MimiPlans) -> dict:
+    return {"flow_lm": convert_flow_lm(sd, cfg), "mimi": convert_mimi(sd, plans)}
+
+
+def remap_split_flow_lm(sd: dict) -> dict:
+    """Key remap for the standalone flow-lm checkpoint
+    (python-reference/pocket_tts/utils/weights_loading.py:6-24), producing
+    ``flow_lm.``-prefixed combined keys."""
+    out = {}
+    for key, value in sd.items():
+        if key.startswith("flow.w_s_t.") or key in (
+            "condition_provider.conditioners.transcript_in_segment.learnt_padding",
+            "condition_provider.conditioners.speaker_wavs.learnt_padding",
+        ):
+            continue
+        new = key
+        if key == "condition_provider.conditioners.transcript_in_segment.embed.weight":
+            new = "conditioner.embed.weight"
+        if key == "condition_provider.conditioners.speaker_wavs.output_proj.weight":
+            new = "speaker_proj_weight"
+        out[f"flow_lm.{new}"] = value
+    return out
+
+
+def remap_split_mimi(sd: dict) -> dict:
+    """python-reference/pocket_tts/utils/weights_loading.py:27-35."""
+    out = {}
+    for key, value in sd.items():
+        if key.startswith("model.quantizer.vq.") or key == "model.quantizer.logvar_proj.weight":
+            continue
+        out["mimi." + key.removeprefix("model.")] = value
+    return out
+
+
+def random_params(cfg: Config, plans: MimiPlans, seed: int = 0) -> dict:
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "flow_lm": flow_lm_mod.init_params(k1, cfg),
+        "mimi": mimi_mod.init_params(k2, plans),
+    }
+
+
+def load_params(cfg: Config, plans: MimiPlans, *, allow_random: bool = True) -> tuple[dict, bool]:
+    """Load the combined checkpoint if reachable, else deterministic random init.
+
+    Returns (params, is_real_weights).  Checkpoint search order: $POCKET_TTS_WEIGHTS,
+    ./tts_<variant>.safetensors, the hf:// URI (cache/network), then — if allowed —
+    random init (architecture-faithful, so shape checks and benchmarks remain valid).
+    """
+    candidates: list[str | Path] = []
+    if os.environ.get("POCKET_TTS_WEIGHTS"):
+        candidates.append(os.environ["POCKET_TTS_WEIGHTS"])
+    candidates.append(Path.cwd() / "tts_b6369a24.safetensors")
+    if cfg.weights_path:
+        candidates.append(cfg.weights_path)
+    if cfg.weights_path_without_voice_cloning:
+        candidates.append(cfg.weights_path_without_voice_cloning)
+
+    for cand in candidates:
+        try:
+            path = resolve_uri(cand)
+            if not path.exists():
+                continue
+            sd = load_safetensors(path)
+            logger.info("Loaded weights from %s", path)
+            return convert_tts_state_dict(sd, cfg, plans), True
+        except Exception as e:  # noqa: BLE001 - fall through candidates
+            logger.debug("Weight candidate %s failed: %s", cand, e)
+
+    if not allow_random:
+        raise FileNotFoundError(
+            f"No checkpoint found (tried {candidates}); set POCKET_TTS_WEIGHTS"
+        )
+    logger.warning("No checkpoint reachable — using deterministic random init")
+    return random_params(cfg, plans), False

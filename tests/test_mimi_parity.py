@@ -1,0 +1,173 @@
+"""SEANet and full-Mimi parity against the PyTorch oracle (matched random
+weights, reduced channel counts for CPU test speed — the layer *structure*
+follows the b6369a24 config: ratios (6,5,4), stride-16 resampling)."""
+
+import numpy as np
+import pytest
+
+from tests import oracle
+
+if not oracle.install_shims():
+    pytest.skip("oracle unavailable", allow_module_level=True)
+
+import torch  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from pocket_tts_tpu import weights  # noqa: E402
+from pocket_tts_tpu.config import MimiConfig, MimiTransformerConfig, QuantizerConfig, SEANetConfig  # noqa: E402
+from pocket_tts_tpu.models import mimi, seanet  # noqa: E402
+
+SMALL_SEANET = SEANetConfig(
+    dimension=32, channels=1, n_filters=8, n_residual_layers=1, ratios=(6, 5, 4),
+    kernel_size=7, residual_kernel_size=3, last_kernel_size=3, dilation_base=2,
+    pad_mode="constant", compress=2,
+)
+SMALL_CFG = MimiConfig(
+    sample_rate=24000, channels=1, frame_rate=12.5, seanet=SMALL_SEANET,
+    transformer=MimiTransformerConfig(
+        d_model=32, input_dimension=32, output_dimensions=(32,), num_heads=4,
+        num_layers=2, layer_scale=0.01, context=250, dim_feedforward=64),
+    quantizer=QuantizerConfig(dimension=8, output_dimension=32),
+)
+
+
+def maxdiff(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def _seanet_kwargs(cfg: SEANetConfig) -> dict:
+    return dict(
+        channels=cfg.channels, dimension=cfg.dimension, n_filters=cfg.n_filters,
+        n_residual_layers=cfg.n_residual_layers, ratios=list(cfg.ratios),
+        kernel_size=cfg.kernel_size, last_kernel_size=cfg.last_kernel_size,
+        residual_kernel_size=cfg.residual_kernel_size, dilation_base=cfg.dilation_base,
+        pad_mode=cfg.pad_mode, compress=cfg.compress,
+    )
+
+
+class TestSEANet:
+    def test_encoder_batch(self):
+        from pocket_tts.modules.seanet import SEANetEncoder
+
+        torch.manual_seed(40)
+        m = SEANetEncoder(**_seanet_kwargs(SMALL_SEANET))
+        oracle.seed_torch_module(m, 41)
+        plan = seanet.encoder_plan(SMALL_SEANET)
+        sd = {f"e.{k}": v for k, v in oracle.torch_state_dict_to_numpy(m).items()}
+        p = weights.convert_seanet(sd, "e", plan)
+
+        x = torch.randn(1, 1, 1920 * 2)
+        ref = m(x, None).detach().numpy()
+        got = seanet.batch_forward(plan, p, jnp.asarray(x.numpy()))
+        assert got.shape == ref.shape  # [1, 32, 32] @ 200 Hz
+        assert maxdiff(got, ref) < 1e-4
+
+    def test_decoder_streaming_matches_oracle_and_batch(self):
+        from pocket_tts.modules.seanet import SEANetDecoder
+        from pocket_tts.modules.stateful_module import increment_steps, init_states
+
+        torch.manual_seed(42)
+        m = SEANetDecoder(**_seanet_kwargs(SMALL_SEANET))
+        oracle.seed_torch_module(m, 43)
+        plan = seanet.decoder_plan(SMALL_SEANET)
+        sd = {f"d.{k}": v for k, v in oracle.torch_state_dict_to_numpy(m).items()}
+        p = weights.convert_seanet(sd, "d", plan)
+
+        frames = [torch.randn(1, 32, 16) for _ in range(3)]  # 16 @200 Hz per frame
+        st_t = init_states(m, 1, 100)
+        refs = []
+        for f in frames:
+            refs.append(m(f, st_t).detach().numpy())
+            increment_steps(m, st_t, 16)
+        ref = np.concatenate(refs, -1)
+
+        st = seanet.init_state(plan, 1)
+        gots = []
+        for f in frames:
+            y, st = seanet.streaming_forward(plan, p, st, jnp.asarray(f.numpy()))
+            gots.append(np.asarray(y))
+        got = np.concatenate(gots, -1)
+        assert got.shape == ref.shape  # 3 * 1920 samples
+        assert maxdiff(got, ref) < 1e-4
+
+        x_all = jnp.asarray(torch.cat(frames, -1).numpy())
+        got_batch = seanet.batch_forward(plan, p, x_all)
+        assert maxdiff(got_batch, got) < 1e-4
+
+
+def _build_oracle_mimi(cfg: MimiConfig):
+    from pocket_tts.models.mimi import MimiModel
+    from pocket_tts.modules.dummy_quantizer import DummyQuantizer
+    from pocket_tts.modules.mimi_transformer import ProjectedTransformer
+    from pocket_tts.modules.seanet import SEANetDecoder, SEANetEncoder
+
+    tcfg = cfg.transformer
+    tf_kwargs = dict(
+        input_dimension=tcfg.input_dimension, output_dimensions=tuple(tcfg.output_dimensions),
+        d_model=tcfg.d_model, num_heads=tcfg.num_heads, num_layers=tcfg.num_layers,
+        layer_scale=tcfg.layer_scale, context=tcfg.context, max_period=tcfg.max_period,
+        dim_feedforward=tcfg.dim_feedforward,
+    )
+    torch.manual_seed(50)
+    m = MimiModel(
+        encoder=SEANetEncoder(**_seanet_kwargs(cfg.seanet)),
+        decoder=SEANetDecoder(**_seanet_kwargs(cfg.seanet)),
+        quantizer=DummyQuantizer(cfg.quantizer.dimension, cfg.quantizer.output_dimension),
+        frame_rate=cfg.frame_rate,
+        encoder_frame_rate=cfg.sample_rate / cfg.seanet.hop_length,
+        sample_rate=cfg.sample_rate,
+        channels=cfg.channels,
+        encoder_transformer=ProjectedTransformer(**tf_kwargs),
+        decoder_transformer=ProjectedTransformer(**tf_kwargs),
+    )
+    oracle.seed_torch_module(m, 51)
+    return m
+
+
+class TestMimi:
+    def test_encode_to_latent(self):
+        m = _build_oracle_mimi(SMALL_CFG)
+        plans = mimi.MimiPlans(SMALL_CFG)
+        sd = {f"mimi.{k}": v for k, v in oracle.torch_state_dict_to_numpy(m).items()}
+        p = weights.convert_mimi(sd, plans)
+
+        torch.manual_seed(52)
+        audio = torch.randn(1, 1, 1920 * 4 - 100)  # non-multiple: exercises padding
+        ref = m.encode_to_latent(audio).detach().numpy()
+        got = mimi.encode_to_latent(p, plans, jnp.asarray(audio.numpy()), block=16)
+        assert got.shape == ref.shape  # [1, 32, 4] latents @ 12.5 Hz
+        assert maxdiff(got, ref) < 2e-4
+
+    def test_decode_streaming_and_batch(self):
+        from pocket_tts.modules.stateful_module import increment_steps, init_states
+
+        m = _build_oracle_mimi(SMALL_CFG)
+        plans = mimi.MimiPlans(SMALL_CFG)
+        sd = {f"mimi.{k}": v for k, v in oracle.torch_state_dict_to_numpy(m).items()}
+        p = weights.convert_mimi(sd, plans)
+
+        torch.manual_seed(53)
+        n_frames = 20  # > ring wrap at context 250? small model: exercises state carry
+        latents = [torch.randn(1, SMALL_CFG.quantizer.dimension, 1) for _ in range(n_frames)]
+
+        st_t = init_states(m, 1, 1000)
+        refs = []
+        for lat in latents:
+            q = m.quantizer(lat)
+            refs.append(m.decode_from_latent(q, st_t).detach().numpy())
+            increment_steps(m, st_t, 16)
+        ref = np.concatenate(refs, -1)
+
+        st = mimi.init_decode_state(plans, 1, ring=272)
+        gots = []
+        for lat in latents:
+            y, st = mimi.decode_step(p, plans, st, jnp.asarray(lat.numpy()))
+            gots.append(np.asarray(y))
+        got = np.concatenate(gots, -1)
+        assert got.shape == ref.shape
+        assert maxdiff(got, ref) < 2e-4
+
+        all_lat = jnp.asarray(torch.cat(latents, -1).numpy())
+        got_batch = mimi.decode_batch(p, plans, all_lat, block=64)
+        assert maxdiff(got_batch, got) < 2e-4
