@@ -1,0 +1,116 @@
+"""Audio I/O and resampling (host side).
+
+WAV read/write via the stdlib ``wave`` module + numpy; polyphase resampling via
+``scipy.signal.resample_poly`` which is exactly the oracle's conversion
+(python-reference/pocket_tts/data/audio_utils.py) and the behavior the Rust port
+matches with rubato (crates/pocket-tts/src/audio.rs:197-255).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import wave
+from pathlib import Path
+
+import numpy as np
+
+
+def read_wav(path: str | Path | bytes) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 [channels, samples] in [-1, 1], sample_rate).
+
+    Tolerates 16/24/32-bit PCM and 32-bit float; mixes nothing (mono source
+    expected, stereo returned as 2 channels)."""
+    if isinstance(path, bytes):
+        f = wave.open(io.BytesIO(path), "rb")
+    else:
+        f = wave.open(str(path), "rb")
+    with f:
+        sr = f.getframerate()
+        n_ch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        samples = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        val = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+               | (b[:, 2].astype(np.int32) << 16))
+        val = np.where(val >= 1 << 23, val - (1 << 24), val)
+        samples = val.astype(np.float32) / float(1 << 23)
+    elif width == 1:
+        samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported sample width {width}")
+    samples = samples.reshape(-1, n_ch).T
+    return np.ascontiguousarray(samples), sr
+
+
+def pcm_i16_le_bytes(audio: np.ndarray) -> bytes:
+    """float [-1,1] -> little-endian int16 PCM bytes — the single shared
+    conversion for CLI/HTTP streaming (crates/pocket-tts/src/audio.rs:110-146)."""
+    clipped = np.clip(audio, -1.0, 1.0)
+    return (clipped * 32767.0).astype("<i2").tobytes()
+
+
+def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int) -> None:
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm_i16_le_bytes(np.asarray(audio).reshape(-1)))
+
+
+def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm_i16_le_bytes(np.asarray(audio).reshape(-1)))
+    return buf.getvalue()
+
+
+def wav_header(sample_rate: int, n_frames: int = 1_000_000_000) -> bytes:
+    """Standalone WAV header for chunked HTTP streaming (frame count is a large
+    placeholder, like the oracle's StreamingWAVWriter)."""
+    buf = io.BytesIO()
+    f = wave.open(buf, "wb")
+    f.setnchannels(1)
+    f.setsampwidth(2)
+    f.setframerate(sample_rate)
+    f.setnframes(n_frames)
+    f._write_header(0)  # noqa: SLF001 - stdlib wave has no public header-only API
+    return buf.getvalue()
+
+
+def resample(audio: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
+    """Polyphase resampling identical to the oracle's convert_audio."""
+    if from_rate == to_rate:
+        return audio
+    from scipy.signal import resample_poly
+
+    g = math.gcd(int(from_rate), int(to_rate))
+    return resample_poly(audio, int(to_rate) // g, int(from_rate) // g,
+                         axis=-1).astype(np.float32)
+
+
+def convert_audio(audio: np.ndarray, from_rate: int, to_rate: int,
+                  to_channels: int = 1) -> np.ndarray:
+    """[C, T] -> resampled [to_channels, T'] (downmix by mean if needed)."""
+    audio = np.atleast_2d(np.asarray(audio, np.float32))
+    if audio.shape[0] != to_channels:
+        if to_channels == 1:
+            audio = audio.mean(axis=0, keepdims=True)
+        else:
+            raise ValueError(f"Cannot convert {audio.shape[0]} -> {to_channels} channels")
+    return resample(audio, from_rate, to_rate)
+
+
+def normalize_peak(audio: np.ndarray, peak: float = 0.99) -> np.ndarray:
+    m = float(np.max(np.abs(audio))) if audio.size else 0.0
+    if m <= peak or m == 0.0:
+        return audio
+    return audio * (peak / m)

@@ -1,0 +1,241 @@
+"""Generation engine: compiled, static-shape programs around the model.
+
+This is the TPU-native replacement for the reference's per-frame host loop
+(tts_model.py:513-548 / tts_model.rs:1006-1070).  Design:
+
+* One **GenState** pytree (FlowLM KV cache + cursor, previous latent, Mimi
+  decode state, RNG key) threads through everything; no Python-side tensors.
+* **decode_frames(K)**: a single compiled ``lax.scan`` emits K latent frames AND
+  their decoded audio per device dispatch — FlowLM step, LSD flow, codec decode
+  all fused in one program.  The chunk schedule starts tiny (first-audio latency)
+  and grows (dispatch amortization).
+* **Prefill** functions are bucketed on sequence length (right-padded; padded
+  positions are causally invisible — see ops/attention.py).
+* Params are always jit *arguments* (never closure constants: 90 MB of weights
+  inlined into HLO breaks compilation) and the big caches are donated.
+* EOS is data: the scan returns per-frame EOS logits; the host applies the
+  ``eos_step + frames_after_eos`` stop rule and truncates — compute overshoot is
+  discarded, segment state is reset from the voice state anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pocket_tts_tpu.config import Config
+from pocket_tts_tpu.models import flow_lm, flow_mlp, mimi, transformer
+from pocket_tts_tpu.models.mimi import MimiPlans
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"{n} exceeds largest bucket {buckets[-1]}")
+
+
+@dataclasses.dataclass
+class GenParams:
+    """Per-request generation knobs (reference: config.rs:118-124)."""
+
+    temp: float = 0.7
+    lsd_decode_steps: int = 1
+    noise_clamp: float | None = None
+    eos_threshold: float = -4.0
+
+
+class Engine:
+    """Owns the jit caches for one (config, batch_size) pair."""
+
+    def __init__(self, cfg: Config, params: dict, batch_size: int = 1,
+                 mesh: Any | None = None):
+        self.cfg = cfg
+        self.params = params
+        self.batch = batch_size
+        self.plans = MimiPlans(cfg.mimi)
+        self.mesh = mesh
+        rcfg = cfg.runtime
+        tcfg = cfg.flow_lm.transformer
+        self._tcfg = tcfg
+        self._rcfg = rcfg
+        self.ldim = cfg.mimi.quantizer.dimension
+        self.frame_size = cfg.mimi.frame_size
+
+        # jitted entry points ---------------------------------------------
+        # Prefill does NOT donate: its kc/vc inputs are often the live voice
+        # state (shared across segments) — donation would invalidate it.  The
+        # decode scan donates: its state is always segment-fresh.
+        self._prefill_tokens = jax.jit(self._prefill_tokens_impl)
+        self._prefill_cond = jax.jit(self._prefill_cond_impl)
+        self._decode = jax.jit(
+            self._decode_impl,
+            static_argnames=("n_frames", "lsd_steps", "clamped"),
+            donate_argnums=(1,),
+        )
+        self._encode = jax.jit(self._encode_impl)
+        self._time_table = jax.jit(
+            flow_mlp.time_embedding_table, static_argnames=("num_steps",)
+        )
+
+    # -- state ------------------------------------------------------------
+
+    def new_state(self, batch: int | None = None) -> dict:
+        b = batch or self.batch
+        tcfg = self._tcfg
+        kc, vc = transformer.init_cache(
+            tcfg.num_layers, b, self._rcfg.max_seq, tcfg.num_heads, tcfg.head_dim
+        )
+        return {
+            "kc": kc,
+            "vc": vc,
+            "pos": jnp.zeros((b,), jnp.int32),
+            "latent": jnp.broadcast_to(self.params["flow_lm"]["bos_emb"],
+                                       (b, self.ldim)),
+            "mimi": mimi.init_decode_state(self.plans, b, self._rcfg.mimi_ring),
+        }
+
+    def reset_for_segment(self, voice_state: dict, batch: int | None = None) -> dict:
+        """Per-segment restart from a voice state: the FlowLM cache is the
+        (immutable) voice snapshot; latent and the Mimi decoder start fresh."""
+        b = batch or self.batch
+        return {
+            "kc": voice_state["kc"],
+            "vc": voice_state["vc"],
+            "pos": voice_state["pos"],
+            "latent": jnp.broadcast_to(self.params["flow_lm"]["bos_emb"],
+                                       (b, self.ldim)),
+            "mimi": mimi.init_decode_state(self.plans, b, self._rcfg.mimi_ring),
+        }
+
+    # -- prefill ----------------------------------------------------------
+
+    def _prefill_tokens_impl(self, params, kc, vc, pos, tokens, t_valid):
+        emb = flow_lm.embed_text(params, tokens)
+        return flow_lm.prefill(params, self.cfg, kc, vc, pos, emb, t_valid)
+
+    def _prefill_cond_impl(self, params, kc, vc, pos, cond, t_valid):
+        return flow_lm.prefill(params, self.cfg, kc, vc, pos, cond, t_valid)
+
+    def prefill_tokens(self, state: dict, tokens: np.ndarray, n_valid: int) -> dict:
+        b = tokens.shape[0]
+        bucket = _bucket(tokens.shape[1], self._rcfg.text_buckets)
+        padded = np.zeros((b, bucket), np.int32)
+        padded[:, : tokens.shape[1]] = tokens
+        kc, vc, pos = self._prefill_tokens(
+            self.params["flow_lm"], state["kc"], state["vc"], state["pos"],
+            jnp.asarray(padded), jnp.full((b,), n_valid, jnp.int32),
+        )
+        return {**state, "kc": kc, "vc": vc, "pos": pos}
+
+    def prefill_conditioning(self, state: dict, cond: jnp.ndarray, n_valid: int) -> dict:
+        """cond: [B, T, d_model] speaker conditioning (bucketed on T)."""
+        b, t = cond.shape[:2]
+        bucket = _bucket(t, self._rcfg.prompt_buckets)
+        if t < bucket:
+            cond = jnp.pad(cond, ((0, 0), (0, bucket - t), (0, 0)))
+        kc, vc, pos = self._prefill_cond(
+            self.params["flow_lm"], state["kc"], state["vc"], state["pos"],
+            cond, jnp.full((b,), n_valid, jnp.int32),
+        )
+        return {**state, "kc": kc, "vc": vc, "pos": pos}
+
+    # -- decode -----------------------------------------------------------
+
+    def _decode_impl(self, params, state, key, gen, *, n_frames: int,
+                     lsd_steps: int, clamped: bool):
+        cfg = self.cfg
+        table = flow_mlp.time_embedding_table(params["flow_lm"]["flow"], lsd_steps)
+        b = state["pos"].shape[0]
+        temp, noise_clamp, eos_threshold = gen
+
+        def body(carry, i):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            std = jnp.sqrt(temp)
+            if clamped:
+                bound = noise_clamp / jnp.maximum(std, 1e-12)
+                noise = jax.random.truncated_normal(
+                    sub, -bound, bound, (b, self.ldim), jnp.float32) * std
+            else:
+                noise = jax.random.normal(sub, (b, self.ldim), jnp.float32) * std
+            latent, eos_logit, kc, vc, pos = flow_lm.step(
+                params["flow_lm"], cfg, st["kc"], st["vc"], st["pos"], st["latent"],
+                noise, table, lsd_steps, 0.0,
+            )
+            denorm = flow_lm.denormalize(params["flow_lm"], latent)
+            audio, mimi_state = mimi.decode_step(
+                params["mimi"], self.plans, st["mimi"], denorm[:, :, None]
+            )
+            new_st = {"kc": kc, "vc": vc, "pos": pos, "latent": latent,
+                      "mimi": mimi_state}
+            return (new_st, key), (audio[:, 0, :], eos_logit)
+
+        (state, key), (audio, eos_logits) = jax.lax.scan(
+            body, (state, key), jnp.arange(n_frames)
+        )
+        # audio: [K, B, frame]; eos: [K, B] -> is_eos bools
+        audio = audio.transpose(1, 0, 2).reshape(b, -1)
+        is_eos = (eos_logits > eos_threshold).T  # [B, K]
+        return state, key, audio, is_eos
+
+    def decode_frames(self, state: dict, key: jax.Array, n_frames: int,
+                      gen: GenParams) -> tuple[dict, jax.Array, np.ndarray, np.ndarray]:
+        gen_args = (
+            jnp.float32(gen.temp),
+            jnp.float32(gen.noise_clamp if gen.noise_clamp is not None else 0.0),
+            jnp.float32(gen.eos_threshold),
+        )
+        state, key, audio, is_eos = self._decode(
+            self.params, state, key, gen_args,
+            n_frames=n_frames, lsd_steps=gen.lsd_decode_steps,
+            clamped=gen.noise_clamp is not None,
+        )
+        return state, key, audio, is_eos
+
+    # -- voice encoding ----------------------------------------------------
+
+    def _encode_impl(self, params, audio):
+        lat = mimi.encode_to_latent(params["mimi"], self.plans, audio,
+                                    block=self._rcfg.encoder_block)
+        return flow_lm.speaker_project(params["flow_lm"], lat.transpose(0, 2, 1))
+
+    def encode_voice(self, audio: np.ndarray) -> tuple[jnp.ndarray, int]:
+        """24 kHz mono [T] or [1, T] -> ([1, frames, d_model] conditioning, frames).
+
+        Audio is bucketed on duration; the encoder stack is causal so padding
+        only affects frames beyond the valid count, which we slice off.
+        """
+        audio = np.asarray(audio, np.float32).reshape(1, 1, -1)
+        t = audio.shape[-1]
+        n_frames = -(-t // self.frame_size)
+        buckets = [int(s * self.cfg.mimi.sample_rate)
+                   for s in self._rcfg.encode_seconds_buckets]
+        target = _bucket(t, tuple(buckets))
+        if t < target:
+            audio = np.pad(audio, ((0, 0), (0, 0), (0, target - t)))
+        cond = self._encode(self.params, jnp.asarray(audio))
+        return cond[:, :n_frames], n_frames
+
+    # -- generation-side helpers -------------------------------------------
+
+    def chunk_schedule(self, max_frames: int) -> list[int]:
+        """Warm-up chunks from config, then the largest chunk until the frame
+        budget is covered (the tail may overshoot; the host truncates)."""
+        schedule = list(self._rcfg.decode_chunks)
+        out, total = [], 0
+        i = 0
+        while total < max_frames:
+            c = schedule[min(i, len(schedule) - 1)]
+            out.append(c)
+            total += c
+            i += 1
+        return out

@@ -1,0 +1,232 @@
+"""TTSModel — the public orchestrator.
+
+API mirrors the reference contract (README.md:106-153 of the reference;
+crates/pocket-tts/src/tts_model.rs): ``load`` / ``load_with_params`` /
+``get_voice_state*`` / ``generate`` / ``generate_stream`` /
+``generate_stream_long`` / ``generate_with_pauses`` / ``estimate_generation_steps``.
+
+Host-side orchestration only — all compute lives in compiled programs owned by
+``runtime.Engine``.  A voice state is an immutable pytree snapshot of the FlowLM
+KV cache after conditioning prefill (the same "the KV cache *is* the voice"
+design as voice_state.rs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from pocket_tts_tpu import audio as audio_io
+from pocket_tts_tpu import pause as pause_mod
+from pocket_tts_tpu import text as text_mod
+from pocket_tts_tpu import weights as weights_mod
+from pocket_tts_tpu.config import (
+    DEFAULT_EOS_THRESHOLD,
+    DEFAULT_LSD_DECODE_STEPS,
+    DEFAULT_NOISE_CLAMP,
+    DEFAULT_TEMPERATURE,
+    DEFAULT_VARIANT,
+    Config,
+    load_variant,
+)
+from pocket_tts_tpu.models.mimi import MimiPlans
+from pocket_tts_tpu.runtime.engine import Engine, GenParams
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class VoiceState:
+    """Immutable voice snapshot: prefilled KV cache + cursor."""
+
+    kc: jax.Array
+    vc: jax.Array
+    pos: jax.Array
+
+    def as_dict(self) -> dict:
+        return {"kc": self.kc, "vc": self.vc, "pos": self.pos}
+
+
+class TTSModel:
+    def __init__(self, cfg: Config, params: dict, *, gen: GenParams,
+                 has_real_weights: bool, seed: int = 0):
+        self.config = cfg
+        self.params = params
+        self.gen = gen
+        self.has_real_weights = has_real_weights
+        self.engine = Engine(cfg, params, batch_size=1)
+        self.tokenizer = text_mod.load_tokenizer(None)
+        self._key = jax.random.PRNGKey(seed)
+
+    # -- loading -----------------------------------------------------------
+
+    @classmethod
+    def load(cls, variant: str = DEFAULT_VARIANT, **kwargs) -> "TTSModel":
+        return cls.load_with_params(variant, **kwargs)
+
+    @classmethod
+    def load_with_params(
+        cls,
+        variant: str = DEFAULT_VARIANT,
+        temp: float = DEFAULT_TEMPERATURE,
+        lsd_decode_steps: int = DEFAULT_LSD_DECODE_STEPS,
+        noise_clamp: float | None = DEFAULT_NOISE_CLAMP,
+        eos_threshold: float = DEFAULT_EOS_THRESHOLD,
+        seed: int = 0,
+    ) -> "TTSModel":
+        cfg = load_variant(variant)
+        plans = MimiPlans(cfg.mimi)
+        params, real = weights_mod.load_params(cfg, plans)
+        gen = GenParams(temp=temp, lsd_decode_steps=lsd_decode_steps,
+                        noise_clamp=noise_clamp, eos_threshold=eos_threshold)
+        return cls(cfg, params, gen=gen, has_real_weights=real, seed=seed)
+
+    def with_params(self, **overrides) -> "TTSModel":
+        """Cheap per-request override clone (shares params/engine;
+        reference: handlers.rs:147-160)."""
+        clone = object.__new__(TTSModel)
+        clone.__dict__.update(self.__dict__)
+        clone.gen = dataclasses.replace(self.gen, **{
+            k: v for k, v in overrides.items() if v is not None})
+        return clone
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.mimi.sample_rate
+
+    @property
+    def frame_size(self) -> int:
+        return self.config.mimi.frame_size
+
+    # -- voice states --------------------------------------------------------
+
+    def get_voice_state(self) -> VoiceState:
+        """Unconditioned (empty) voice state."""
+        st = self.engine.new_state()
+        return VoiceState(st["kc"], st["vc"], st["pos"])
+
+    def get_voice_state_from_wav(self, path: str | Path | bytes,
+                                 truncate: bool = False) -> VoiceState:
+        wav, sr = audio_io.read_wav(path)
+        if truncate:
+            wav = wav[..., : 30 * sr]
+        wav = audio_io.convert_audio(wav, sr, self.sample_rate, 1)
+        return self.get_voice_state_from_audio(wav)
+
+    def get_voice_state_from_audio(self, wav: np.ndarray) -> VoiceState:
+        """24 kHz mono waveform -> voice state via the Mimi encoder + speaker
+        projection + conditioning prefill (tts_model.rs:504-560)."""
+        cond, n_frames = self.engine.encode_voice(wav)
+        return self._prefill_voice(cond, n_frames)
+
+    def get_voice_state_from_prompt(self, prompt: np.ndarray) -> VoiceState:
+        """From a precomputed ``audio_prompt`` latent [1, T, d_model] — the
+        format of the stock-voice safetensors (tts_model.rs:465-501)."""
+        prompt = np.asarray(prompt, np.float32)
+        if prompt.ndim == 2:
+            prompt = prompt[None]
+        return self._prefill_voice(prompt, prompt.shape[1])
+
+    def get_voice_state_from_prompt_file(self, path: str | Path) -> VoiceState:
+        from safetensors import safe_open
+
+        with safe_open(str(path), framework="numpy") as f:
+            prompt = f.get_tensor("audio_prompt").astype(np.float32)
+        return self.get_voice_state_from_prompt(prompt)
+
+    def _prefill_voice(self, cond, n_frames: int) -> VoiceState:
+        st = self.engine.new_state()
+        st = self.engine.prefill_conditioning(st, cond, n_frames)
+        return VoiceState(st["kc"], st["vc"], st["pos"])
+
+    # -- generation ----------------------------------------------------------
+
+    def estimate_generation_steps(self, text: str) -> int:
+        prepared, _ = text_mod.prepare_text_prompt(text)
+        return text_mod.max_generation_frames(prepared)
+
+    def generate(self, text: str, voice_state: VoiceState | None = None) -> np.ndarray:
+        """Synthesize ``text`` -> float32 waveform [samples] @ 24 kHz."""
+        chunks = list(self.generate_stream(text, voice_state))
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    def generate_stream(self, text: str, voice_state: VoiceState | None = None
+                        ) -> Iterator[np.ndarray]:
+        """Stream audio chunks.  Text is split into <=50-token sentence chunks;
+        each restarts from the voice state (tts_model.py:396-411)."""
+        if voice_state is None:
+            voice_state = self.get_voice_state()
+        for chunk in text_mod.split_into_best_sentences(self.tokenizer, text):
+            yield from self._generate_segment(chunk, voice_state)
+
+    def generate_with_pauses(self, text: str,
+                             voice_state: VoiceState | None = None) -> np.ndarray:
+        chunks = list(self.generate_stream_long(text, voice_state))
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    def generate_stream_long(self, text: str, voice_state: VoiceState | None = None
+                             ) -> Iterator[np.ndarray]:
+        """Pause-aware streaming: interleaves synthesized text segments with
+        silence for ``[pause:Xms]`` / natural pauses (tts_model.rs:1074-1127)."""
+        if voice_state is None:
+            voice_state = self.get_voice_state()
+        for seg in pause_mod.segment_text(text):
+            if seg.kind == "pause":
+                n = pause_mod.silence_samples(seg.duration_ms, self.sample_rate)
+                yield np.zeros(n, np.float32)
+            else:
+                yield from self.generate_stream(seg.text, voice_state)
+
+    # -- internals -------------------------------------------------------------
+
+    def _generate_segment(self, chunk: str, voice_state: VoiceState
+                          ) -> Iterator[np.ndarray]:
+        t_start = time.monotonic()
+        prepared, fae_guess = text_mod.prepare_text_prompt(chunk)
+        frames_after_eos = fae_guess + 2  # tts_model.py:405
+        max_frames = text_mod.max_generation_frames(prepared)
+
+        tokens, n_tokens = text_mod.tokens_array(self.tokenizer, prepared)
+        state = self.engine.reset_for_segment(voice_state.as_dict())
+        room = self.engine._rcfg.max_seq - int(jax.device_get(state["pos"])[0])
+        max_frames = min(max_frames, max(room - n_tokens - 1, 0))
+        state = self.engine.prefill_tokens(state, tokens, n_tokens)
+
+        frames_done = 0
+        eos_step: int | None = None
+        total_samples = 0
+        self._key, key = jax.random.split(self._key)
+        for k in self.engine.chunk_schedule(max_frames):
+            state, key, audio, is_eos = self.engine.decode_frames(
+                state, key, k, self.gen)
+            audio = np.asarray(jax.device_get(audio))[0]
+            eos_np = np.asarray(jax.device_get(is_eos))[0]
+            if eos_step is None:
+                hits = np.nonzero(eos_np)[0]
+                if hits.size:
+                    eos_step = frames_done + int(hits[0])
+            target = max_frames if eos_step is None else min(
+                max_frames, eos_step + frames_after_eos)
+            emit = min(target, frames_done + k) - frames_done
+            if emit > 0:
+                out = audio[: emit * self.frame_size]
+                total_samples += out.size
+                yield out
+            frames_done += k
+            if frames_done >= target:
+                break
+        if eos_step is None:
+            logger.warning(
+                "Maximum generation length reached without EOS, "
+                "this very often indicates an error.")
+        dt = time.monotonic() - t_start
+        if total_samples:
+            dur = total_samples / self.sample_rate
+            logger.info("Generated %.2f s audio in %.2f s (RTF %.3f, %.1fx realtime)",
+                        dur, dt, dt / dur, dur / dt)

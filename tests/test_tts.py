@@ -1,0 +1,105 @@
+"""End-to-end TTSModel tests on a small random-weight model (CPU): streaming
+semantics, determinism at temp=0, pause insertion, voice-state isolation.
+Mirrors the reference's streaming_tests.rs / integration test intents."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pocket_tts_tpu import weights
+from pocket_tts_tpu.config import (
+    Config, FlowConfig, FlowLMConfig, LookupTableConfig, MimiConfig,
+    MimiTransformerConfig, QuantizerConfig, RuntimeConfig, SEANetConfig,
+    TransformerConfig,
+)
+from pocket_tts_tpu.models.mimi import MimiPlans
+from pocket_tts_tpu.runtime.engine import GenParams
+from pocket_tts_tpu.tts import TTSModel
+
+CFG = Config(
+    flow_lm=FlowLMConfig(
+        flow=FlowConfig(dim=48, depth=2),
+        transformer=TransformerConfig(d_model=64, num_heads=4, num_layers=2,
+                                      hidden_scale=2),
+        lookup_table=LookupTableConfig(dim=64, n_bins=4000),
+    ),
+    mimi=MimiConfig(
+        seanet=SEANetConfig(dimension=32, n_filters=4, ratios=(6, 5, 4),
+                            pad_mode="constant"),
+        transformer=MimiTransformerConfig(d_model=32, input_dimension=32,
+                                          output_dimensions=(32,), num_heads=4,
+                                          num_layers=2, layer_scale=0.01,
+                                          context=48, dim_feedforward=64),
+        quantizer=QuantizerConfig(dimension=16, output_dimension=32),
+    ),
+    runtime=RuntimeConfig(max_seq=512, mimi_ring=64, text_buckets=(16, 32, 64),
+                          prompt_buckets=(16, 64), decode_chunks=(2, 4, 8),
+                          encode_seconds_buckets=(1.0, 2.0)),
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    return TTSModel(CFG, params, gen=GenParams(temp=0.0), has_real_weights=False)
+
+
+def test_generate_shape_and_determinism(model):
+    wav1 = model.generate("Hello, world!")
+    assert wav1.dtype == np.float32
+    assert wav1.size % model.frame_size == 0
+    assert wav1.size > 0
+    assert np.isfinite(wav1).all()
+    # temp=0 => deterministic; per-segment voice-state reset => reproducible
+    wav2 = model.generate("Hello, world!")
+    np.testing.assert_allclose(wav1, wav2, atol=1e-5)
+
+
+def test_stream_equals_batch(model):
+    text = "This is the first sentence. And here is the second one!"
+    streamed = np.concatenate(list(model.generate_stream(text)))
+    batch = model.generate(text)
+    np.testing.assert_allclose(streamed, batch, atol=1e-4)
+
+
+def test_pause_inserts_exact_silence(model):
+    wav_a = model.generate("Hello there everyone today.")
+    out = model.generate_with_pauses("Hello there everyone today. [pause:500ms] ")
+    n_silence = int(0.5 * model.sample_rate)
+    assert out.size == wav_a.size + n_silence
+    assert np.all(out[wav_a.size:] == 0.0)
+
+
+def test_voice_state_reusable_after_generation(model):
+    """Generation must not mutate the voice state (per-segment reset)."""
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(24000,)).astype(np.float32) * 0.1
+    vs = model.get_voice_state_from_audio(wav)
+    pos_before = int(jax.device_get(vs.pos)[0])
+    a = model.generate("Testing voice state.", vs)
+    b = model.generate("Testing voice state.", vs)
+    assert int(jax.device_get(vs.pos)[0]) == pos_before
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert pos_before > 0  # conditioning actually prefilled
+
+
+def test_voice_changes_output(model):
+    rng = np.random.default_rng(1)
+    v1 = model.get_voice_state_from_audio(rng.normal(size=24000).astype(np.float32) * 0.1)
+    v2 = model.get_voice_state_from_audio(rng.normal(size=24000).astype(np.float32) * 0.1)
+    a = model.generate("Same text, different voice.", v1)
+    b = model.generate("Same text, different voice.", v2)
+    assert a.shape != b.shape or np.abs(a - b).max() > 1e-6
+
+
+def test_eos_truncation_rule(model):
+    """Frames emitted must equal min(max_frames, eos_step + frames_after_eos)."""
+    text = "Hello, world!"
+    from pocket_tts_tpu import text as text_mod
+
+    prepared, guess = text_mod.prepare_text_prompt(text)
+    max_frames = text_mod.max_generation_frames(prepared)
+    wav = model.generate(text)
+    assert wav.size <= max_frames * model.frame_size
