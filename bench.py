@@ -1,0 +1,82 @@
+"""Benchmark: single-stream real-time factor on one chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+value = audio-seconds generated per wall-second (higher is better).
+vs_baseline compares against the reference Rust/Candle CPU implementation's
+published ~3x real-time (BASELINE.md: RTF 0.33 on Apple M4 Max).
+
+Details (first-chunk latency, per-frame ms) go to stderr.  EOS is disabled
+(threshold +inf) so the run generates the full frame budget — random weights
+would otherwise EOS immediately, and RTF is weight-independent compute.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+BASELINE_X_REALTIME = 3.0  # reference Rust CPU: RTF 0.33 => 3x real-time
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog while the orchestra plays a "
+    "quiet waltz in the background, and the narrator keeps a steady, measured "
+    "pace through every single sentence of this benchmark paragraph."
+)
+
+
+def main():
+    import jax
+
+    from pocket_tts_tpu import TTSModel
+
+    t0 = time.time()
+    model = TTSModel.load(eos_threshold=float("inf"))  # never stop early
+    print(f"load: {time.time()-t0:.1f}s real_weights={model.has_real_weights} "
+          f"dtype={model.engine.dtype} device={jax.devices()[0]}", file=sys.stderr)
+
+    # Warm-up: compile every chunk size + prefill bucket.
+    t0 = time.time()
+    _ = model.generate("Warm up sentence for compilation, nothing more.")
+    print(f"warmup(compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # First-chunk latency (p50 of 5).
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        it = model.generate_stream(TEXT)
+        first = next(it)
+        lats.append(time.perf_counter() - t0)
+        for _ in it:
+            pass
+    p50_first = sorted(lats)[len(lats) // 2]
+    print(f"first-chunk p50: {p50_first*1000:.0f} ms "
+          f"({len(first)/model.sample_rate*1000:.0f} ms audio)", file=sys.stderr)
+
+    # Sustained RTF over 3 runs.
+    best = 0.0
+    for i in range(3):
+        t0 = time.perf_counter()
+        wav = model.generate(TEXT)
+        dt = time.perf_counter() - t0
+        dur = wav.size / model.sample_rate
+        x_rt = dur / dt
+        best = max(best, x_rt)
+        print(f"run {i}: {dur:.2f}s audio in {dt:.2f}s wall -> {x_rt:.1f}x realtime "
+              f"({dt/ (wav.size/1920) * 1000:.2f} ms/frame)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "single_stream_x_realtime",
+        "value": round(best, 2),
+        "unit": "audio_seconds_per_wall_second",
+        "vs_baseline": round(best / BASELINE_X_REALTIME, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,21 +146,26 @@ class RuntimeConfig:
     """TPU runtime knobs — no reference equivalent (the reference runs dynamic
     shapes on CPU; XLA wants one compiled program per shape)."""
 
-    # Compute dtype for matmuls/convs ("bfloat16" or "float32").  Norms, softmax
-    # and the flow integrator always accumulate in float32.
-    compute_dtype: str = "float32"
+    # Compute dtype for matmuls/convs: "auto" (bfloat16 on accelerators,
+    # float32 on CPU), "bfloat16", or "float32".  Norms, softmax and the flow
+    # integrator always accumulate in float32.
+    compute_dtype: str = "auto"
     # FlowLM KV-cache capacity: voice-prompt frames + text tokens + latent frames.
     max_seq: int = 1024
-    # Mimi decoder ring capacity.  Must be a multiple of the per-frame write width
-    # (16) and >= context (250) + 16 so ring writes never wrap.
-    mimi_ring: int = 272
+    # Mimi decoder ring capacity.  Ring writes must never wrap (cap % write-width
+    # == 0) and the 250-step window must survive the largest grouped write:
+    # cap - 16*max_chunk >= context.  2048 covers chunks up to 64 frames.
+    mimi_ring: int = 2048
     # Static bucket sizes for text prefill (token counts).
     text_buckets: tuple[int, ...] = (8, 16, 32, 64)
     # Static bucket sizes for voice-prompt conditioning prefill (12.5 Hz frames).
     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
     # Decode chunk schedule: frames generated per device dispatch.  Warm-up with
     # small chunks for low first-audio latency, then amortize dispatch.
-    decode_chunks: tuple[int, ...] = (2, 4, 8, 16)
+    decode_chunks: tuple[int, ...] = (2, 4, 8, 16, 32, 64)
+    # How many decode chunks are dispatched ahead of the host reading results —
+    # hides the device->host sync round-trip (~25 ms on tunneled backends).
+    pipeline_depth: int = 2
     # Query block for banded (windowed) batch attention in the Mimi encoder.
     encoder_block: int = 256
     # Audio-sample bucket sizes for the Mimi encoder (voice cloning), seconds.

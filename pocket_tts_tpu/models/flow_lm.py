@@ -86,7 +86,8 @@ def step(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One autoregressive frame.  Returns (next_latent, eos_logit, kc, vc, pos)."""
     tcfg = cfg.flow_lm.transformer
-    x = jnp.einsum("bi,di->bd", latent, params["input_w"])[:, None, :]  # [B,1,D]
+    w_in = params["input_w"]
+    x = jnp.einsum("bi,di->bd", latent.astype(w_in.dtype), w_in)[:, None, :]  # [B,1,D]
     positions = pos[:, None]
     cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]

@@ -67,7 +67,7 @@ def flow_step(params: dict, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         z = z @ bp["mlp2_w"].T + bp["mlp2_b"]
         return h + gate * z, None
 
-    h, _ = lax.scan(block, h, params["blocks"])
+    h, _ = lax.scan(block, h, params["blocks"], unroll=True)
 
     mod = jax.nn.silu(y) @ params["final_ada_w"].T + params["final_ada_b"]
     shift, scale = jnp.split(mod, 2, axis=-1)

@@ -99,7 +99,7 @@ def encode_to_latent(
 def quantize(params: dict, latent_bct: jnp.ndarray) -> jnp.ndarray:
     """1x1 conv 32 -> 512 (DummyQuantizer.output_proj)."""
     w = params["quantizer_w"][:, :, 0]
-    return jnp.einsum("bct,dc->bdt", latent_bct, w)
+    return jnp.einsum("bct,dc->bdt", latent_bct.astype(w.dtype), w)
 
 
 def init_decode_state(plans: MimiPlans, batch: int, ring: int, dtype=jnp.float32) -> dict:
@@ -132,6 +132,10 @@ def decode_step(
         plans.specs["upsample"], params["upsample_w"], None, state["up"], x
     )
     t200 = x.shape[-1]
+    cap = state["kc"].shape[2]
+    # the grouped write must leave the full attention window resident
+    assert cap >= t200 + tcfg.context - 1, (
+        f"ring {cap} too small for {t200}-step write with context {tcfg.context}")
     positions = state["pos"][:, None] + jnp.arange(t200, dtype=jnp.int32)[None, :]
     cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]

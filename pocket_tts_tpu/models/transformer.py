@@ -67,7 +67,8 @@ def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
     b, t, e = x.shape
     d = e // n_heads
     xn = layer_norm(x, p_layer["norm1_w"], p_layer["norm1_b"], eps=1e-5)
-    proj = jnp.einsum("bte,pe->btp", xn, p_layer["in_proj"])
+    w = p_layer["in_proj"]
+    proj = jnp.einsum("bte,pe->btp", xn.astype(w.dtype), w)
     proj = proj.reshape(b, t, 3, n_heads, d)
     q, k, v = proj[:, :, 0], proj[:, :, 1], proj[:, :, 2]
     q = apply_rope(q, cos, sin)
@@ -77,14 +78,15 @@ def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
 
 def _post_attn(p_layer: dict, x: jnp.ndarray, attn: jnp.ndarray):
     b, t = x.shape[:2]
-    update = jnp.einsum("btf,ef->bte", attn.reshape(b, t, -1), p_layer["out_proj"])
+    wo = p_layer["out_proj"]
+    update = jnp.einsum("btf,ef->bte", attn.reshape(b, t, -1).astype(wo.dtype), wo)
     if "ls1" in p_layer:
         update = update * p_layer["ls1"].astype(update.dtype)
     x = x + update
     xn = layer_norm(x, p_layer["norm2_w"], p_layer["norm2_b"], eps=1e-5)
-    h = jnp.einsum("bte,fe->btf", xn, p_layer["ff1"])
+    h = jnp.einsum("bte,fe->btf", xn.astype(p_layer["ff1"].dtype), p_layer["ff1"])
     h = jax.nn.gelu(h, approximate=False)
-    update = jnp.einsum("btf,ef->bte", h, p_layer["ff2"])
+    update = jnp.einsum("btf,ef->bte", h, p_layer["ff2"].astype(h.dtype))
     if "ls2" in p_layer:
         update = update * p_layer["ls2"].astype(update.dtype)
     return x + update
@@ -110,7 +112,8 @@ def cache_forward(
         attn = causal_cache_attention(q, kc, vc, pos)
         return _post_attn(p_layer, x, attn), (kc, vc)
 
-    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache))
+    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache),
+                                     unroll=True)
     return y, k_cache, v_cache
 
 
@@ -135,7 +138,8 @@ def ring_forward(
         attn = windowed_ring_attention(q, kc, vc, pos, context)
         return _post_attn(p_layer, x, attn), (kc, vc)
 
-    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache))
+    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache),
+                                     unroll=True)
     return y, k_cache, v_cache
 
 
@@ -177,7 +181,7 @@ def projected_batch_forward(
 ) -> jnp.ndarray:
     x = x_bct.transpose(0, 2, 1)
     if "input_proj" in p:
-        x = jnp.einsum("btc,dc->btd", x, p["input_proj"])
+        x = jnp.einsum("btc,dc->btd", x.astype(p["input_proj"].dtype), p["input_proj"])
     y = batch_forward(p["layers"], cfg.num_heads, cfg.context, x, cos, sin, block=block)
     if "output_proj" in p:
         y = jnp.einsum("btd,cd->btc", y, p["output_proj"])
@@ -189,7 +193,7 @@ def projected_ring_forward(
 ):
     x = x_bct.transpose(0, 2, 1)
     if "input_proj" in p:
-        x = jnp.einsum("btc,dc->btd", x, p["input_proj"])
+        x = jnp.einsum("btc,dc->btd", x.astype(p["input_proj"].dtype), p["input_proj"])
     y, k_cache, v_cache = ring_forward(
         p["layers"], cfg.num_heads, cfg.context, k_cache, v_cache, pos, x, cos, sin
     )

@@ -74,8 +74,8 @@ def conv1d(
 ) -> jnp.ndarray:
     """VALID conv over [B, C, T] with torch-layout weight [out, in/groups, K]."""
     y = lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
+        x.astype(w.dtype),  # compute in the weight dtype (bf16 on TPU)
+        w,
         window_strides=(stride,),
         padding="VALID",
         rhs_dilation=(dilation,),
@@ -107,8 +107,8 @@ def conv_transpose1d(
     wg = jnp.flip(wg.transpose(0, 2, 1, 3), axis=-1)
     rhs = wg.reshape(groups * out_per_group, in_ch // groups, k)
     y = lax.conv_general_dilated(
-        x,
-        rhs.astype(x.dtype),
+        x.astype(rhs.dtype),
+        rhs,
         window_strides=(1,),
         padding=[(k - 1, k - 1)],
         lhs_dilation=(stride,),
@@ -136,6 +136,7 @@ def conv_init_state(spec: ConvSpec, batch: int, dtype=jnp.float32) -> dict:
 def streaming_conv1d(
     spec: ConvSpec, w: jnp.ndarray, b: jnp.ndarray | None, state: dict, x: jnp.ndarray
 ) -> tuple[jnp.ndarray, dict]:
+    x = x.astype(w.dtype)  # keep streaming state in the compute dtype
     p = spec.state_len
     if p == 0:
         return conv1d(x, w, b, stride=spec.stride, dilation=spec.dilation,
@@ -156,6 +157,7 @@ def batch_conv1d(
     spec: ConvSpec, w: jnp.ndarray, b: jnp.ndarray | None, x: jnp.ndarray
 ) -> jnp.ndarray:
     """model_state=None semantics: left pad with zeros (or first frame)."""
+    x = x.astype(w.dtype)
     p = spec.state_len
     if p > 0:
         if spec.pad_mode == "replicate":
@@ -173,7 +175,7 @@ def convtr_init_state(spec: ConvTrSpec, batch: int, dtype=jnp.float32) -> dict:
 def streaming_conv_transpose1d(
     spec: ConvTrSpec, w: jnp.ndarray, b: jnp.ndarray | None, state: dict, x: jnp.ndarray
 ) -> tuple[jnp.ndarray, dict]:
-    y = conv_transpose1d(x, w, b, stride=spec.stride, groups=spec.groups)
+    y = conv_transpose1d(x.astype(w.dtype), w, b, stride=spec.stride, groups=spec.groups)
     pt = spec.state_len
     if pt == 0:
         return y, state

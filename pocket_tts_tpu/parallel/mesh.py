@@ -1,0 +1,100 @@
+"""Device mesh + sharding rules.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.6) — scaling
+out is new capability, designed the JAX way: pick a mesh, annotate weight/activation
+shardings, let GSPMD insert the collectives (psum over the FFN contraction is the
+tensor-parallel all-reduce; the batch axis is data parallelism over concurrent
+streams of the serving batcher).
+
+Axes:
+  dp — data parallel over the serving batch (requests are independent).
+  tp — tensor parallel over FFN hidden units (Megatron-style: ff1 column-split,
+       ff2 row-split -> one all-reduce per layer) and over attention heads for
+       the KV caches.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if tp is None:
+        # prefer tp that divides both the FFN hidden (4096) and head count (16)
+        tp = 1
+        for cand in (4, 2, 8):
+            if n % cand == 0 and cand <= n:
+                tp = cand
+                break
+    dp = n // tp
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _path_name(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_sharding_rules(path: tuple, leaf) -> P:
+    """PartitionSpec per parameter leaf (path = key path entries)."""
+    name = _path_name(path)
+    # Megatron FFN split: ff1 [L, F, E] column-parallel, ff2 [L, E, F] row-parallel.
+    if name.endswith("ff1"):
+        return P(None, "tp", None)
+    if name.endswith("ff2"):
+        return P(None, None, "tp")
+    # Everything else (attention, norms, convs, embeddings) is small: replicate.
+    return P()
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    def put(path, leaf):
+        spec = param_sharding_rules(path, leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+def state_sharding_rules(path: tuple) -> P:
+    """Generation state: batch-sharded over dp; KV caches additionally sharded
+    over heads on tp ([L, B, S, H, D])."""
+    name = _path_name(path)
+    if name.endswith("kc") or name.endswith("vc"):
+        return P(None, "dp", None, "tp", None)
+    if name.endswith("pos"):
+        return P("dp")
+    if name.endswith("latent"):
+        return P("dp", None)
+    # mimi conv states: [B, C, T]
+    return P("dp")
+
+
+def _fit_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    """Trim a spec to the array rank and drop axes that don't divide the dim
+    (e.g. the Mimi decoder has fewer heads than tp)."""
+    out = []
+    for i, axis in enumerate(spec[: len(shape)]):
+        if axis is not None and shape[i] % mesh.shape[axis] != 0:
+            axis = None
+        out.append(axis)
+    return P(*out)
+
+
+def shard_state(state: dict, mesh: Mesh) -> dict:
+    def put(path, leaf):
+        spec = _fit_spec(state_sharding_rules(path), leaf.shape, mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, state)

@@ -35,6 +35,29 @@ from pocket_tts_tpu.models.mimi import MimiPlans
 
 logger = logging.getLogger(__name__)
 
+_CACHE_SET = False
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache — first-compile of the decode scan runs
+    minutes through the axon remote-compile tunnel; cached reloads are instant."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    import os
+
+    cache_dir = os.environ.get(
+        "POCKET_TTS_JAX_CACHE", os.path.expanduser("~/.cache/pocket_tts_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # noqa: BLE001
+        logger.debug("compilation cache unavailable: %s", e)
+    _CACHE_SET = True
+
 
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
@@ -53,13 +76,34 @@ class GenParams:
     eos_threshold: float = -4.0
 
 
+def _cast_params(params: dict, dtype) -> dict:
+    """Cast the bandwidth-heavy weights to the compute dtype.
+
+    Kept in float32: the flow net (latents feed back autoregressively — bf16
+    there compounds across frames), the output norm/EOS head, and the latent
+    statistics.  Everything the MXU streams per frame (backbone, codec) goes
+    bf16: halves HBM traffic, which bounds this model's per-frame time.
+    """
+    if dtype == jnp.float32:
+        return params
+
+    def cast(tree):
+        return jax.tree.map(lambda x: x.astype(dtype)
+                            if x.dtype == jnp.float32 else x, tree)
+
+    fl = dict(params["flow_lm"])
+    for name in ("tf", "input_w", "text_embed"):
+        fl[name] = cast(fl[name])
+    return {"flow_lm": fl, "mimi": cast(params["mimi"])}
+
+
 class Engine:
     """Owns the jit caches for one (config, batch_size) pair."""
 
     def __init__(self, cfg: Config, params: dict, batch_size: int = 1,
                  mesh: Any | None = None):
+        enable_compilation_cache()
         self.cfg = cfg
-        self.params = params
         self.batch = batch_size
         self.plans = MimiPlans(cfg.mimi)
         self.mesh = mesh
@@ -69,6 +113,13 @@ class Engine:
         self._rcfg = rcfg
         self.ldim = cfg.mimi.quantizer.dimension
         self.frame_size = cfg.mimi.frame_size
+
+        dt = rcfg.compute_dtype
+        if dt == "auto":
+            dt = "bfloat16" if jax.default_backend() != "cpu" else "float32"
+        self.dtype = jnp.dtype(dt)
+        self.params = jax.jit(_cast_params, static_argnames=("dtype",)
+                              )(params, dtype=self.dtype)
 
         # jitted entry points ---------------------------------------------
         # Prefill does NOT donate: its kc/vc inputs are often the live voice
@@ -82,39 +133,47 @@ class Engine:
             donate_argnums=(1,),
         )
         self._encode = jax.jit(self._encode_impl)
-        self._time_table = jax.jit(
-            flow_mlp.time_embedding_table, static_argnames=("num_steps",)
-        )
+        self._new_state = jax.jit(self._new_state_impl, static_argnames=("batch",))
+        self._reset = jax.jit(self._reset_impl, static_argnames=("batch",))
 
     # -- state ------------------------------------------------------------
+    # State creation runs jitted: on this machine every *eager* op round-trips
+    # through the axon remote-compile tunnel (seconds each).
 
-    def new_state(self, batch: int | None = None) -> dict:
-        b = batch or self.batch
+    def _new_state_impl(self, params, *, batch: int) -> dict:
         tcfg = self._tcfg
         kc, vc = transformer.init_cache(
-            tcfg.num_layers, b, self._rcfg.max_seq, tcfg.num_heads, tcfg.head_dim
+            tcfg.num_layers, batch, self._rcfg.max_seq, tcfg.num_heads,
+            tcfg.head_dim, self.dtype,
         )
         return {
             "kc": kc,
             "vc": vc,
-            "pos": jnp.zeros((b,), jnp.int32),
-            "latent": jnp.broadcast_to(self.params["flow_lm"]["bos_emb"],
-                                       (b, self.ldim)),
-            "mimi": mimi.init_decode_state(self.plans, b, self._rcfg.mimi_ring),
+            "pos": jnp.zeros((batch,), jnp.int32),
+            "latent": jnp.broadcast_to(
+                params["bos_emb"].astype(jnp.float32), (batch, self.ldim)),
+            "mimi": mimi.init_decode_state(self.plans, batch, self._rcfg.mimi_ring,
+                                           self.dtype),
         }
+
+    def _reset_impl(self, params, kc, vc, pos, *, batch: int) -> dict:
+        return {
+            "kc": kc, "vc": vc, "pos": pos,
+            "latent": jnp.broadcast_to(
+                params["bos_emb"].astype(jnp.float32), (batch, self.ldim)),
+            "mimi": mimi.init_decode_state(self.plans, batch, self._rcfg.mimi_ring,
+                                           self.dtype),
+        }
+
+    def new_state(self, batch: int | None = None) -> dict:
+        return self._new_state(self.params["flow_lm"], batch=batch or self.batch)
 
     def reset_for_segment(self, voice_state: dict, batch: int | None = None) -> dict:
         """Per-segment restart from a voice state: the FlowLM cache is the
         (immutable) voice snapshot; latent and the Mimi decoder start fresh."""
-        b = batch or self.batch
-        return {
-            "kc": voice_state["kc"],
-            "vc": voice_state["vc"],
-            "pos": voice_state["pos"],
-            "latent": jnp.broadcast_to(self.params["flow_lm"]["bos_emb"],
-                                       (b, self.ldim)),
-            "mimi": mimi.init_decode_state(self.plans, b, self._rcfg.mimi_ring),
-        }
+        return self._reset(self.params["flow_lm"], voice_state["kc"],
+                           voice_state["vc"], voice_state["pos"],
+                           batch=batch or self.batch)
 
     # -- prefill ----------------------------------------------------------
 
@@ -132,7 +191,7 @@ class Engine:
         padded[:, : tokens.shape[1]] = tokens
         kc, vc, pos = self._prefill_tokens(
             self.params["flow_lm"], state["kc"], state["vc"], state["pos"],
-            jnp.asarray(padded), jnp.full((b,), n_valid, jnp.int32),
+            jnp.asarray(padded), jnp.asarray(np.full((b,), n_valid, np.int32)),
         )
         return {**state, "kc": kc, "vc": vc, "pos": pos}
 
@@ -144,7 +203,7 @@ class Engine:
             cond = jnp.pad(cond, ((0, 0), (0, bucket - t), (0, 0)))
         kc, vc, pos = self._prefill_cond(
             self.params["flow_lm"], state["kc"], state["vc"], state["pos"],
-            cond, jnp.full((b,), n_valid, jnp.int32),
+            cond, jnp.asarray(np.full((b,), n_valid, np.int32)),
         )
         return {**state, "kc": kc, "vc": vc, "pos": pos}
 
@@ -152,6 +211,14 @@ class Engine:
 
     def _decode_impl(self, params, state, key, gen, *, n_frames: int,
                      lsd_steps: int, clamped: bool):
+        """K frames per dispatch, in two stages:
+
+        1. ``lax.scan`` over the (inherently sequential) FlowLM AR steps,
+           collecting K latents and EOS logits;
+        2. ONE grouped Mimi decode over all K frames (16K steps @ 200 Hz) —
+           grouped codec decode is ~13x cheaper per frame than framewise
+           (convs and attention get real sequence lengths to chew on).
+        """
         cfg = self.cfg
         table = flow_mlp.time_embedding_table(params["flow_lm"]["flow"], lsd_steps)
         b = state["pos"].shape[0]
@@ -171,19 +238,20 @@ class Engine:
                 params["flow_lm"], cfg, st["kc"], st["vc"], st["pos"], st["latent"],
                 noise, table, lsd_steps, 0.0,
             )
-            denorm = flow_lm.denormalize(params["flow_lm"], latent)
-            audio, mimi_state = mimi.decode_step(
-                params["mimi"], self.plans, st["mimi"], denorm[:, :, None]
-            )
-            new_st = {"kc": kc, "vc": vc, "pos": pos, "latent": latent,
-                      "mimi": mimi_state}
-            return (new_st, key), (audio[:, 0, :], eos_logit)
+            new_st = {"kc": kc, "vc": vc, "pos": pos, "latent": latent}
+            return (new_st, key), (latent, eos_logit)
 
-        (state, key), (audio, eos_logits) = jax.lax.scan(
-            body, (state, key), jnp.arange(n_frames)
+        flow_st = {k: state[k] for k in ("kc", "vc", "pos", "latent")}
+        (flow_st, key), (latents, eos_logits) = jax.lax.scan(
+            body, (flow_st, key), jnp.arange(n_frames)
         )
-        # audio: [K, B, frame]; eos: [K, B] -> is_eos bools
-        audio = audio.transpose(1, 0, 2).reshape(b, -1)
+        # latents: [K, B, ldim] -> denormalize -> [B, ldim, K] for the codec
+        denorm = flow_lm.denormalize(params["flow_lm"], latents)
+        audio, mimi_state = mimi.decode_step(
+            params["mimi"], self.plans, state["mimi"], denorm.transpose(1, 2, 0)
+        )
+        state = {**flow_st, "mimi": mimi_state}
+        audio = audio[:, 0, :].astype(jnp.float32)  # [B, K*frame]
         is_eos = (eos_logits > eos_threshold).T  # [B, K]
         return state, key, audio, is_eos
 

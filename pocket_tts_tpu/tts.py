@@ -43,11 +43,15 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass(frozen=True)
 class VoiceState:
-    """Immutable voice snapshot: prefilled KV cache + cursor."""
+    """Immutable voice snapshot: prefilled KV cache + cursor.
+
+    ``length`` mirrors ``pos`` on the host so generation never has to sync the
+    device just to know how much cache room remains."""
 
     kc: jax.Array
     vc: jax.Array
     pos: jax.Array
+    length: int = 0
 
     def as_dict(self) -> dict:
         return {"kc": self.kc, "vc": self.vc, "pos": self.pos}
@@ -109,7 +113,7 @@ class TTSModel:
     def get_voice_state(self) -> VoiceState:
         """Unconditioned (empty) voice state."""
         st = self.engine.new_state()
-        return VoiceState(st["kc"], st["vc"], st["pos"])
+        return VoiceState(st["kc"], st["vc"], st["pos"], 0)
 
     def get_voice_state_from_wav(self, path: str | Path | bytes,
                                  truncate: bool = False) -> VoiceState:
@@ -143,7 +147,7 @@ class TTSModel:
     def _prefill_voice(self, cond, n_frames: int) -> VoiceState:
         st = self.engine.new_state()
         st = self.engine.prefill_conditioning(st, cond, n_frames)
-        return VoiceState(st["kc"], st["vc"], st["pos"])
+        return VoiceState(st["kc"], st["vc"], st["pos"], n_frames)
 
     # -- generation ----------------------------------------------------------
 
@@ -193,20 +197,27 @@ class TTSModel:
         max_frames = text_mod.max_generation_frames(prepared)
 
         tokens, n_tokens = text_mod.tokens_array(self.tokenizer, prepared)
-        state = self.engine.reset_for_segment(voice_state.as_dict())
-        room = self.engine._rcfg.max_seq - int(jax.device_get(state["pos"])[0])
+        room = self.engine._rcfg.max_seq - voice_state.length
         max_frames = min(max_frames, max(room - n_tokens - 1, 0))
+        state = self.engine.reset_for_segment(voice_state.as_dict())
         state = self.engine.prefill_tokens(state, tokens, n_tokens)
 
-        frames_done = 0
+        # Depth-1 pipelined decode: chunk i+1 is dispatched before chunk i is
+        # fetched, hiding the device->host sync latency.  On EOS we overshoot
+        # at most one chunk (discarded; segment state is reset anyway).
+        frames_done = 0  # frames fetched & accounted
         eos_step: int | None = None
         total_samples = 0
         self._key, key = jax.random.split(self._key)
-        for k in self.engine.chunk_schedule(max_frames):
-            state, key, audio, is_eos = self.engine.decode_frames(
-                state, key, k, self.gen)
-            audio = np.asarray(jax.device_get(audio))[0]
-            eos_np = np.asarray(jax.device_get(is_eos))[0]
+        pending: list[tuple[int, object, object]] = []
+        schedule = iter(self.engine.chunk_schedule(max_frames))
+        issued = 0
+
+        def fetch():
+            nonlocal frames_done, eos_step, total_samples
+            k, audio, is_eos = pending.pop(0)
+            audio, eos_np = jax.device_get((audio, is_eos))
+            audio, eos_np = np.asarray(audio)[0], np.asarray(eos_np)[0]
             if eos_step is None:
                 hits = np.nonzero(eos_np)[0]
                 if hits.size:
@@ -214,12 +225,32 @@ class TTSModel:
             target = max_frames if eos_step is None else min(
                 max_frames, eos_step + frames_after_eos)
             emit = min(target, frames_done + k) - frames_done
+            frames_done += k
             if emit > 0:
                 out = audio[: emit * self.frame_size]
                 total_samples += out.size
-                yield out
-            frames_done += k
-            if frames_done >= target:
+                return out, frames_done >= target
+            return None, frames_done >= target
+
+        depth = max(1, getattr(self.engine._rcfg, "pipeline_depth", 1))
+        done = False
+        while not done:
+            k = next(schedule, None)
+            if k is not None and issued < max_frames:
+                state, key, audio, is_eos = self.engine.decode_frames(
+                    state, key, k, self.gen)
+                for arr in (audio, is_eos):  # start device->host DMA immediately
+                    try:
+                        arr.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 - optional fast path
+                        pass
+                pending.append((k, audio, is_eos))
+                issued += k
+            if len(pending) > (depth if k is not None else 0):
+                out, done = fetch()
+                if out is not None:
+                    yield out
+            elif k is None and not pending:
                 break
         if eos_step is None:
             logger.warning(

@@ -224,11 +224,16 @@ def remap_split_mimi(sd: dict) -> dict:
 
 
 def random_params(cfg: Config, plans: MimiPlans, seed: int = 0) -> dict:
-    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    return {
-        "flow_lm": flow_lm_mod.init_params(k1, cfg),
-        "mimi": mimi_mod.init_params(k2, plans),
-    }
+    # One jitted program: eager per-leaf random ops are pathologically slow on
+    # remote-compile backends (seconds per op through the axon tunnel).
+    def init(key):
+        k1, k2 = jax.random.split(key)
+        return {
+            "flow_lm": flow_lm_mod.init_params(k1, cfg),
+            "mimi": mimi_mod.init_params(k2, plans),
+        }
+
+    return jax.jit(init)(jax.random.PRNGKey(seed))
 
 
 def load_params(cfg: Config, plans: MimiPlans, *, allow_random: bool = True) -> tuple[dict, bool]:
