@@ -1,0 +1,137 @@
+"""Command-line interface: ``generate`` and ``serve`` subcommands.
+
+Flag surface follows the reference CLI (crates/pocket-tts-cli/src/commands/
+generate.rs:18-75, serve.rs:41-64).  ``--stream`` writes raw s16le PCM to stdout;
+otherwise a WAV file is written with a progress bar driven by
+``estimate_generation_steps``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def _add_gen_params(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--variant", default="b6369a24")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--lsd-decode-steps", type=int, default=1)
+    p.add_argument("--eos-threshold", type=float, default=-4.0)
+    p.add_argument("--noise-clamp", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quantized", action="store_true",
+                   help="int8 weight quantization")
+
+
+def _load_model(args):
+    from pocket_tts_tpu.tts import TTSModel
+
+    model = TTSModel.load_with_params(
+        args.variant, temp=args.temperature, lsd_decode_steps=args.lsd_decode_steps,
+        noise_clamp=args.noise_clamp, eos_threshold=args.eos_threshold,
+        seed=args.seed,
+    )
+    if getattr(args, "quantized", False):
+        from pocket_tts_tpu.runtime.quantize import quantize_model
+
+        model = quantize_model(model)
+    return model
+
+
+def cmd_generate(args) -> int:
+    from pocket_tts_tpu import audio as audio_io
+    from pocket_tts_tpu.server import voices as voices_mod
+
+    model = _load_model(args)
+    voice = None
+    if args.voice:
+        try:
+            voice = voices_mod.resolve_voice(model, args.voice)
+        except Exception as e:  # noqa: BLE001
+            print(f"warning: voice {args.voice!r} unresolvable ({e}); "
+                  "using unconditioned state", file=sys.stderr)
+
+    if args.stream:
+        for chunk in model.generate_stream_long(args.text, voice):
+            sys.stdout.buffer.write(audio_io.pcm_i16_le_bytes(chunk))
+            sys.stdout.buffer.flush()
+        return 0
+
+    total = model.estimate_generation_steps(args.text)
+    t0 = time.time()
+    chunks = []
+    done_frames = 0
+    for chunk in model.generate_stream_long(args.text, voice):
+        chunks.append(chunk)
+        done_frames += len(chunk) // model.frame_size
+        if not args.quiet:
+            pct = min(100, int(100 * done_frames / max(total, 1)))
+            secs = sum(len(c) for c in chunks) / model.sample_rate
+            print(f"\r[{pct:3d}%] {secs:.1f}s audio generated", end="",
+                  file=sys.stderr, flush=True)
+    import numpy as np
+
+    wav = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    audio_io.write_wav(args.output, wav, model.sample_rate)
+    if not args.quiet:
+        dur = wav.size / model.sample_rate
+        dt = time.time() - t0
+        print(f"\nWrote {args.output}: {dur:.2f}s audio in {dt:.2f}s "
+              f"({dur/max(dt,1e-9):.1f}x realtime)", file=sys.stderr)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from pocket_tts_tpu.server.app import start_server
+
+    model = _load_model(args)
+    start_server(
+        model, host=args.host, port=args.port,
+        voice_cache_capacity=args.voice_cache_capacity,
+        default_voice=args.default_voice,
+        prewarm=tuple(args.prewarm or ()),
+        warmup=not args.no_warmup,
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("pocket-tts-tpu",
+                                description="TPU-native Pocket TTS")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="synthesize speech to a WAV file or stdout")
+    g.add_argument("--text", required=True)
+    g.add_argument("--voice", default=None,
+                   help="predefined name, hf:// URI, .wav/.safetensors path, or base64")
+    g.add_argument("--output", "-o", default="output.wav")
+    g.add_argument("--stream", action="store_true",
+                   help="write raw s16le PCM to stdout")
+    g.add_argument("--quiet", "-q", action="store_true")
+    _add_gen_params(g)
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("serve", help="start the HTTP server")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--voice-cache-capacity", type=int, default=8)
+    s.add_argument("--default-voice", default="alba")
+    s.add_argument("--prewarm", nargs="*", default=[],
+                   help="voice specs to preload into the LRU")
+    s.add_argument("--no-warmup", action="store_true")
+    _add_gen_params(s)
+    s.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

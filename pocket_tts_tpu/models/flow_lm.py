@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from pocket_tts_tpu.config import Config
 from pocket_tts_tpu.models import flow_mlp, transformer
 from pocket_tts_tpu.ops.norms import layer_norm
+from pocket_tts_tpu.ops.qtensor import mat
 from pocket_tts_tpu.ops.rope import rope_table
 
 
@@ -86,7 +87,7 @@ def step(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One autoregressive frame.  Returns (next_latent, eos_logit, kc, vc, pos)."""
     tcfg = cfg.flow_lm.transformer
-    w_in = params["input_w"]
+    w_in = mat(params["input_w"])
     x = jnp.einsum("bi,di->bd", latent.astype(w_in.dtype), w_in)[:, None, :]  # [B,1,D]
     positions = pos[:, None]
     cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)

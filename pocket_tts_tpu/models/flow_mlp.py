@@ -21,6 +21,7 @@ from jax import lax
 
 from pocket_tts_tpu.config import FlowConfig
 from pocket_tts_tpu.ops.norms import layer_norm, rms_norm_torchvar
+from pocket_tts_tpu.ops.qtensor import mat
 
 
 def _timestep_embedding(p_te: dict, t: jnp.ndarray, freq_size: int = 256) -> jnp.ndarray:
@@ -31,9 +32,9 @@ def _timestep_embedding(p_te: dict, t: jnp.ndarray, freq_size: int = 256) -> jnp
     )
     args = t.astype(jnp.float32)[..., None] * freqs
     emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
-    h = emb @ p_te["w1"].T + p_te["b1"]
+    h = emb @ mat(p_te["w1"]).T + p_te["b1"]
     h = jax.nn.silu(h)
-    h = h @ p_te["w2"].T + p_te["b2"]
+    h = h @ mat(p_te["w2"]).T + p_te["b2"]
     return rms_norm_torchvar(h, p_te["alpha"], eps=1e-5)
 
 
@@ -50,30 +51,30 @@ def time_embedding_table(params: dict, num_steps: int) -> jnp.ndarray:
 
 def embed_condition(params: dict, cond: jnp.ndarray) -> jnp.ndarray:
     """cond_embed: [.., cond_dim] -> [.., dim]."""
-    return cond @ params["cond_w"].T + params["cond_b"]
+    return cond @ mat(params["cond_w"]).T + params["cond_b"]
 
 
 def flow_step(params: dict, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """One flow evaluation v = f(y, x): x [B, ldim], y [B, dim] (time + cond)."""
-    h = x @ params["in_w"].T + params["in_b"]
+    h = x @ mat(params["in_w"]).T + params["in_b"]
 
     def block(h, bp):
-        mod = jax.nn.silu(y) @ bp["ada_w"].T + bp["ada_b"]
+        mod = jax.nn.silu(y) @ mat(bp["ada_w"]).T + bp["ada_b"]
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         z = layer_norm(h, bp["ln_w"], bp["ln_b"], eps=1e-6)
         z = z * (1 + scale) + shift
-        z = z @ bp["mlp1_w"].T + bp["mlp1_b"]
+        z = z @ mat(bp["mlp1_w"]).T + bp["mlp1_b"]
         z = jax.nn.silu(z)
-        z = z @ bp["mlp2_w"].T + bp["mlp2_b"]
+        z = z @ mat(bp["mlp2_w"]).T + bp["mlp2_b"]
         return h + gate * z, None
 
     h, _ = lax.scan(block, h, params["blocks"], unroll=True)
 
-    mod = jax.nn.silu(y) @ params["final_ada_w"].T + params["final_ada_b"]
+    mod = jax.nn.silu(y) @ mat(params["final_ada_w"]).T + params["final_ada_b"]
     shift, scale = jnp.split(mod, 2, axis=-1)
     z = layer_norm(h, None, None, eps=1e-6)
     z = z * (1 + scale) + shift
-    return z @ params["final_w"].T + params["final_b"]
+    return z @ mat(params["final_w"]).T + params["final_b"]
 
 
 def lsd_decode(

@@ -98,7 +98,9 @@ def encode_to_latent(
 
 def quantize(params: dict, latent_bct: jnp.ndarray) -> jnp.ndarray:
     """1x1 conv 32 -> 512 (DummyQuantizer.output_proj)."""
-    w = params["quantizer_w"][:, :, 0]
+    from pocket_tts_tpu.ops.qtensor import mat
+
+    w = mat(params["quantizer_w"])[:, :, 0]
     return jnp.einsum("bct,dc->bdt", latent_bct.astype(w.dtype), w)
 
 

@@ -29,6 +29,7 @@ from pocket_tts_tpu.ops.attention import (
     windowed_ring_attention,
 )
 from pocket_tts_tpu.ops.norms import layer_norm
+from pocket_tts_tpu.ops.qtensor import mat
 from pocket_tts_tpu.ops.rope import apply_rope
 
 
@@ -67,7 +68,7 @@ def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
     b, t, e = x.shape
     d = e // n_heads
     xn = layer_norm(x, p_layer["norm1_w"], p_layer["norm1_b"], eps=1e-5)
-    w = p_layer["in_proj"]
+    w = mat(p_layer["in_proj"])
     proj = jnp.einsum("bte,pe->btp", xn.astype(w.dtype), w)
     proj = proj.reshape(b, t, 3, n_heads, d)
     q, k, v = proj[:, :, 0], proj[:, :, 1], proj[:, :, 2]
@@ -78,15 +79,16 @@ def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
 
 def _post_attn(p_layer: dict, x: jnp.ndarray, attn: jnp.ndarray):
     b, t = x.shape[:2]
-    wo = p_layer["out_proj"]
+    wo = mat(p_layer["out_proj"])
     update = jnp.einsum("btf,ef->bte", attn.reshape(b, t, -1).astype(wo.dtype), wo)
     if "ls1" in p_layer:
         update = update * p_layer["ls1"].astype(update.dtype)
     x = x + update
     xn = layer_norm(x, p_layer["norm2_w"], p_layer["norm2_b"], eps=1e-5)
-    h = jnp.einsum("bte,fe->btf", xn.astype(p_layer["ff1"].dtype), p_layer["ff1"])
+    w1, w2 = mat(p_layer["ff1"]), mat(p_layer["ff2"])
+    h = jnp.einsum("bte,fe->btf", xn.astype(w1.dtype), w1)
     h = jax.nn.gelu(h, approximate=False)
-    update = jnp.einsum("btf,ef->bte", h, p_layer["ff2"].astype(h.dtype))
+    update = jnp.einsum("btf,ef->bte", h, w2.astype(h.dtype))
     if "ls2" in p_layer:
         update = update * p_layer["ls2"].astype(update.dtype)
     return x + update
@@ -181,10 +183,11 @@ def projected_batch_forward(
 ) -> jnp.ndarray:
     x = x_bct.transpose(0, 2, 1)
     if "input_proj" in p:
-        x = jnp.einsum("btc,dc->btd", x.astype(p["input_proj"].dtype), p["input_proj"])
+        w_in = mat(p["input_proj"])
+        x = jnp.einsum("btc,dc->btd", x.astype(w_in.dtype), w_in)
     y = batch_forward(p["layers"], cfg.num_heads, cfg.context, x, cos, sin, block=block)
     if "output_proj" in p:
-        y = jnp.einsum("btd,cd->btc", y, p["output_proj"])
+        y = jnp.einsum("btd,cd->btc", y, mat(p["output_proj"]))
     return y.transpose(0, 2, 1)
 
 
@@ -193,10 +196,11 @@ def projected_ring_forward(
 ):
     x = x_bct.transpose(0, 2, 1)
     if "input_proj" in p:
-        x = jnp.einsum("btc,dc->btd", x.astype(p["input_proj"].dtype), p["input_proj"])
+        w_in = mat(p["input_proj"])
+        x = jnp.einsum("btc,dc->btd", x.astype(w_in.dtype), w_in)
     y, k_cache, v_cache = ring_forward(
         p["layers"], cfg.num_heads, cfg.context, k_cache, v_cache, pos, x, cos, sin
     )
     if "output_proj" in p:
-        y = jnp.einsum("btd,cd->btc", y, p["output_proj"])
+        y = jnp.einsum("btd,cd->btc", y, mat(p["output_proj"]))
     return y.transpose(0, 2, 1), k_cache, v_cache

@@ -24,6 +24,8 @@ import dataclasses
 import jax.numpy as jnp
 from jax import lax
 
+from pocket_tts_tpu.ops.qtensor import mat
+
 _DN = ("NCH", "OIH", "NCH")
 
 
@@ -73,6 +75,7 @@ def conv1d(
     groups: int = 1,
 ) -> jnp.ndarray:
     """VALID conv over [B, C, T] with torch-layout weight [out, in/groups, K]."""
+    w = mat(w)
     y = lax.conv_general_dilated(
         x.astype(w.dtype),  # compute in the weight dtype (bf16 on TPU)
         w,
@@ -101,6 +104,7 @@ def conv_transpose1d(
     flipped, in/out-swapped kernel — a single XLA conv that maps onto the MXU,
     output length ``(T-1)*stride + K`` (torch semantics, padding=0).
     """
+    w = mat(w)
     in_ch, out_per_group, k = w.shape
     # [in, out/g, K] -> [(g, in/g), out/g, K] -> [(g, out/g), in/g, K], flipped.
     wg = w.reshape(groups, in_ch // groups, out_per_group, k)

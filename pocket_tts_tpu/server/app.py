@@ -1,0 +1,196 @@
+"""HTTP server (aiohttp): health, generate, stream, tts, OpenAI-compatible speech.
+
+Route surface mirrors the reference (crates/pocket-tts-cli/src/server/routes.rs:19-28):
+
+  GET  /health            -> {"status": "ok", ...}
+  POST /generate          -> whole WAV     {text, voice?, temperature?, lsd_steps?,
+                                            eos_threshold?, noise_clamp?}
+  POST /stream            -> chunked raw s16le PCM (same body)
+  POST /tts               -> multipart (text, voice_url | voice_wav) -> WAV
+  POST /v1/audio/speech   -> OpenAI-compatible {model, input, voice} -> WAV
+
+Generation runs in a single-worker thread pool behind a lock, like the reference's
+async-mutex + spawn_blocking (handlers.rs:128-209); continuous batching replaces
+this in the batched serving tier (runtime/batcher.py).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import concurrent.futures
+import json
+import logging
+import signal
+import time
+
+import numpy as np
+
+from pocket_tts_tpu import audio as audio_io
+from pocket_tts_tpu.server import voices as voices_mod
+from pocket_tts_tpu.tts import TTSModel
+
+logger = logging.getLogger(__name__)
+
+
+class ServerState:
+    def __init__(self, model: TTSModel, *, voice_cache_capacity: int = 8,
+                 default_voice: str = voices_mod.DEFAULT_VOICE):
+        self.model = model
+        self.cache = voices_mod.VoiceStateCache(voice_cache_capacity)
+        self.default_voice = default_voice
+        self.lock = asyncio.Lock()
+        self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self.started_at = time.time()
+
+    def resolve(self, spec: str | None):
+        spec = spec or self.default_voice
+        try:
+            return voices_mod.resolve_voice_cached(self.model, spec, self.cache)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("voice %r unresolvable (%s); using unconditioned state",
+                           spec, e)
+            return self.model.get_voice_state()
+
+    def model_with_overrides(self, body: dict) -> TTSModel:
+        return self.model.with_params(
+            temp=body.get("temperature"),
+            lsd_decode_steps=body.get("lsd_steps"),
+            eos_threshold=body.get("eos_threshold"),
+            noise_clamp=body.get("noise_clamp"),
+        )
+
+
+def create_app(state: ServerState):
+    from aiohttp import web
+
+    routes = web.RouteTableDef()
+
+    @routes.get("/health")
+    async def health(request):
+        return web.json_response({
+            "status": "ok",
+            "model": "pocket-tts-tpu",
+            "uptime_s": round(time.time() - state.started_at, 1),
+            "real_weights": state.model.has_real_weights,
+        })
+
+    async def _generate_wav(body: dict) -> bytes:
+        model = state.model_with_overrides(body)
+        text = body.get("text") or body.get("input")
+        if not text or not str(text).strip():
+            raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
+                                     content_type="application/json")
+        voice = state.resolve(body.get("voice"))
+        loop = asyncio.get_running_loop()
+        async with state.lock:
+            wav = await loop.run_in_executor(
+                state.pool, lambda: model.generate_with_pauses(str(text), voice))
+        return audio_io.wav_bytes(wav, model.sample_rate)
+
+    @routes.post("/generate")
+    async def generate(request):
+        body = await request.json()
+        data = await _generate_wav(body)
+        return web.Response(body=data, content_type="audio/wav")
+
+    @routes.post("/stream")
+    async def stream(request):
+        body = await request.json()
+        model = state.model_with_overrides(body)
+        text = body.get("text", "")
+        if not str(text).strip():
+            raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
+                                     content_type="application/json")
+        voice = state.resolve(body.get("voice"))
+
+        resp = web.StreamResponse(
+            headers={"Content-Type": "audio/pcm;rate=24000;encoding=signed-int;bits=16"})
+        await resp.prepare(request)
+
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue(maxsize=10)
+
+        def producer():
+            try:
+                for chunk in model.generate_stream_long(str(text), voice):
+                    fut = asyncio.run_coroutine_threadsafe(
+                        queue.put(audio_io.pcm_i16_le_bytes(chunk)), loop)
+                    fut.result()
+                asyncio.run_coroutine_threadsafe(queue.put(None), loop).result()
+            except Exception as e:  # noqa: BLE001
+                logger.exception("stream producer failed")
+                asyncio.run_coroutine_threadsafe(queue.put(e), loop).result()
+
+        async with state.lock:
+            task = loop.run_in_executor(state.pool, producer)
+            while True:
+                item = await queue.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    break
+                await resp.write(item)
+            await task
+        await resp.write_eof()
+        return resp
+
+    @routes.post("/tts")
+    async def tts(request):
+        """Python-reference-compatible multipart endpoint (main.py:114-171)."""
+        body: dict = {}
+        ctype = request.content_type
+        if ctype.startswith("multipart") or ctype == "application/x-www-form-urlencoded":
+            form = await request.post()
+            if "text" in form:
+                body["text"] = str(form["text"])
+            if "voice_url" in form:
+                body["voice"] = str(form["voice_url"])
+            if "voice_wav" in form:
+                import base64 as b64
+
+                raw = form["voice_wav"]
+                raw = raw.file.read() if hasattr(raw, "file") else (
+                    raw.encode() if isinstance(raw, str) else bytes(raw))
+                body["voice"] = b64.b64encode(raw).decode()
+        else:
+            body = await request.json()
+        data = await _generate_wav(body)
+        return web.Response(body=data, content_type="audio/wav")
+
+    @routes.post("/v1/audio/speech")
+    async def openai_speech(request):
+        """OpenAI-compatible endpoint (handlers.rs:378-398): {model, input, voice}."""
+        body = await request.json()
+        data = await _generate_wav({
+            "text": body.get("input"),
+            "voice": body.get("voice"),
+            "temperature": body.get("temperature"),
+        })
+        return web.Response(body=data, content_type="audio/wav")
+
+    app = web.Application()
+    app.add_routes(routes)
+    return app
+
+
+def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
+                 voice_cache_capacity: int = 8,
+                 default_voice: str = voices_mod.DEFAULT_VOICE,
+                 prewarm: tuple[str, ...] = (), warmup: bool = True) -> None:
+    """Blocking entry: preload default voice, prewarm LRU, warmup compile, serve
+    (reference: crates/pocket-tts-cli/src/server/mod.rs:15-166)."""
+    from aiohttp import web
+
+    state = ServerState(model, voice_cache_capacity=voice_cache_capacity,
+                        default_voice=default_voice)
+    state.resolve(default_voice)
+    for name in prewarm:
+        state.resolve(name)
+    if warmup:
+        t0 = time.time()
+        _ = model.generate("Warm up.", state.resolve(default_voice))
+        logger.info("warmup generation in %.1fs", time.time() - t0)
+
+    app = create_app(state)
+    logger.info("serving on http://%s:%d", host, port)
+    web.run_app(app, host=host, port=port, handle_signals=True, print=None)

@@ -64,6 +64,7 @@ class TTSModel:
         self.params = params
         self.gen = gen
         self.has_real_weights = has_real_weights
+        self.is_quantized = False
         self.engine = Engine(cfg, params, batch_size=1)
         self.tokenizer = text_mod.load_tokenizer(None)
         self._key = jax.random.PRNGKey(seed)

@@ -1,0 +1,78 @@
+"""int8 weight-only quantization: policy, SNR, and end-to-end fidelity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pocket_tts_tpu.ops.qtensor import (
+    QTensor, mat, quantization_snr_db, quantize_array, quantize_tree,
+    should_quantize, STACKED_WEIGHTS,
+)
+
+
+class TestQTensor:
+    def test_roundtrip_snr(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 128))
+        qt = quantize_array(w)
+        assert qt.q.dtype == jnp.int8
+        assert qt.scale.shape == (256,)
+        assert quantization_snr_db(w, qt) > 30.0  # reference aims for high-SNR int8
+
+    def test_stacked_channel_axes(self):
+        w = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 32))
+        qt = quantize_array(w, channel_axes=2)
+        assert qt.scale.shape == (4, 64)
+        err = np.abs(np.asarray(qt.dequant() - w))
+        assert err.max() < np.abs(w).max() / 100
+
+    def test_mat_passthrough(self):
+        w = jnp.ones((4, 4))
+        assert mat(w) is w
+        qt = quantize_array(w)
+        assert mat(qt).shape == (4, 4)
+
+    def test_skip_policy(self):
+        big = jnp.ones((64, 64))
+        assert should_quantize("tf/ff1", big)
+        assert not should_quantize("flow_lm/text_embed", big)
+        assert not should_quantize("tf/out_proj", big)
+        assert not should_quantize("out_eos_w", big)
+        assert not should_quantize("tiny", jnp.ones((4, 4)))
+
+    def test_quantize_tree_is_pytree(self):
+        tree = {"ff1": jnp.ones((8, 16, 32)), "out_proj": jnp.ones((8, 32, 32)),
+                "norm_w": jnp.ones((8, 32))}
+        q = quantize_tree(tree, stacked_names=STACKED_WEIGHTS)
+        assert isinstance(q["ff1"], QTensor)
+        assert not isinstance(q["out_proj"], QTensor)  # skip-list
+        assert not isinstance(q["norm_w"], QTensor)
+        # flows through jit
+        out = jax.jit(lambda t: mat(t["ff1"]).sum())(q)
+        assert np.isfinite(float(out))
+
+
+class TestQuantizedModel:
+    def test_e2e_close_to_f32(self):
+        from tests.test_tts import CFG
+        from pocket_tts_tpu import weights
+        from pocket_tts_tpu.models.mimi import MimiPlans
+        from pocket_tts_tpu.runtime.engine import GenParams
+        from pocket_tts_tpu.runtime.quantize import quantize_model
+        from pocket_tts_tpu.tts import TTSModel
+
+        plans = MimiPlans(CFG.mimi)
+        params = weights.random_params(CFG, plans, seed=3)
+        model = TTSModel(CFG, params, gen=GenParams(temp=0.0),
+                         has_real_weights=False)
+        qmodel = quantize_model(model)
+        assert qmodel.is_quantized
+
+        a = model.generate("Testing the quantized model now.")
+        b = qmodel.generate("Testing the quantized model now.")
+        assert np.isfinite(b).all()
+        # int8 weights perturb the AR trajectory; demand same order of magnitude
+        # and decent early-sample agreement rather than bitwise equality.
+        n = min(a.size, b.size, 1920)
+        assert np.abs(a[:n] - b[:n]).max() < 0.5 * max(np.abs(a).max(), 1e-3)

@@ -1,0 +1,161 @@
+"""In-process HTTP server tests (aiohttp test client) — mirrors the reference's
+tower::oneshot server tests (crates/pocket-tts-cli/tests/server_tests.rs) —
+plus CLI end-to-end generation (cli_tests.rs)."""
+
+import io
+import json
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from pocket_tts_tpu import weights  # noqa: E402
+from pocket_tts_tpu.models.mimi import MimiPlans  # noqa: E402
+from pocket_tts_tpu.runtime.engine import GenParams  # noqa: E402
+from pocket_tts_tpu.server.app import ServerState, create_app  # noqa: E402
+from pocket_tts_tpu.tts import TTSModel  # noqa: E402
+from tests.test_tts import CFG  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def model():
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    return TTSModel(CFG, params, gen=GenParams(temp=0.0), has_real_weights=False)
+
+
+@pytest.fixture()
+def client(model, event_loop=None):
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    state = ServerState(model)
+    app = create_app(state)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+def _check_wav(data: bytes) -> int:
+    with wave.open(io.BytesIO(data), "rb") as f:
+        assert f.getframerate() == 24000
+        assert f.getnchannels() == 1
+        return f.getnframes()
+
+
+def test_health(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/health")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "ok"
+
+    loop.run_until_complete(go())
+
+
+def test_generate_returns_wav(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/generate", json={"text": "Hello from the server."})
+        assert resp.status == 200
+        assert resp.content_type == "audio/wav"
+        return await resp.read()
+
+    data = loop.run_until_complete(go())
+    assert _check_wav(data) > 0
+
+
+def test_generate_missing_text_400(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/generate", json={})
+        return resp.status
+
+    assert loop.run_until_complete(go()) == 400
+
+
+def test_stream_pcm(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/stream", json={"text": "Stream me some audio."})
+        assert resp.status == 200
+        return await resp.read()
+
+    data = loop.run_until_complete(go())
+    assert len(data) > 0 and len(data) % 2 == 0
+    pcm = np.frombuffer(data, "<i2")
+    assert np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_openai_speech(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/v1/audio/speech", json={
+            "model": "pocket-tts", "input": "OpenAI compatible.", "voice": "alba"})
+        assert resp.status == 200
+        return await resp.read()
+
+    assert _check_wav(loop.run_until_complete(go())) > 0
+
+
+def test_tts_multipart(client):
+    c, loop = client
+
+    async def go():
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("text", "Multipart request.")
+        resp = await c.post("/tts", data=form)
+        assert resp.status == 200
+        return await resp.read()
+
+    assert _check_wav(loop.run_until_complete(go())) > 0
+
+
+def test_per_request_override(client):
+    """Temperature/lsd overrides must not mutate the shared model."""
+    c, loop = client
+    model = c.server.app  # noqa: F841
+
+    async def go():
+        resp = await c.post("/generate", json={
+            "text": "Override parameters please.", "temperature": 0.1,
+            "lsd_steps": 2, "eos_threshold": -2.0})
+        return resp.status
+
+    assert loop.run_until_complete(go()) == 200
+
+
+class TestCLI:
+    def test_generate_to_wav(self, model, tmp_path, monkeypatch):
+        from pocket_tts_tpu import cli
+
+        out = tmp_path / "out.wav"
+        monkeypatch.setattr(cli, "_load_model", lambda args: model)
+        rc = cli.main(["generate", "--text", "CLI generation test.",
+                       "--output", str(out), "--quiet"])
+        assert rc == 0
+        with wave.open(str(out), "rb") as f:
+            assert f.getnframes() > 0
+
+    def test_stream_to_stdout(self, model, tmp_path, monkeypatch, capfdbinary):
+        from pocket_tts_tpu import cli
+
+        monkeypatch.setattr(cli, "_load_model", lambda args: model)
+        rc = cli.main(["generate", "--text", "Stream to stdout.", "--stream"])
+        assert rc == 0
+        data = capfdbinary.readouterr().out
+        assert len(data) > 0 and len(data) % 2 == 0

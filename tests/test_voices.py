@@ -1,0 +1,100 @@
+"""Voice resolution & LRU cache (reference: voice.rs:224-258, state.rs:87-107)."""
+
+import base64
+
+import numpy as np
+import pytest
+
+from pocket_tts_tpu import audio as audio_io
+from pocket_tts_tpu.server import voices
+from tests.test_tts import CFG
+
+
+@pytest.fixture(scope="module")
+def model():
+    from pocket_tts_tpu import weights
+    from pocket_tts_tpu.models.mimi import MimiPlans
+    from pocket_tts_tpu.runtime.engine import GenParams
+    from pocket_tts_tpu.tts import TTSModel
+
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    return TTSModel(CFG, params, gen=GenParams(temp=0.0), has_real_weights=False)
+
+
+class TestCacheKeys:
+    def test_stock(self):
+        assert voices.voice_cache_key("alba") == "stock:alba"
+
+    def test_hf(self):
+        key = voices.voice_cache_key("hf://a/b/c.safetensors")
+        assert key.startswith("hf:")
+
+    def test_file_key_includes_mtime_size(self, tmp_path):
+        p = tmp_path / "v.wav"
+        p.write_bytes(b"RIFF0000WAVE")
+        k1 = voices.voice_cache_key(str(p))
+        p.write_bytes(b"RIFF00000000WAVE")
+        k2 = voices.voice_cache_key(str(p))
+        assert k1 != k2  # size change invalidates
+
+    def test_b64_key(self):
+        assert voices.voice_cache_key("AAAA").startswith("b64:")
+
+
+class TestLRU:
+    def test_eviction_order(self):
+        cache = voices.VoiceStateCache(capacity=2)
+        cache.put("a", "A")
+        cache.put("b", "B")
+        cache.get("a")  # refresh a
+        cache.put("c", "C")  # evicts b
+        assert cache.get("b") is None
+        assert cache.get("a") == "A"
+        assert cache.get("c") == "C"
+
+
+class TestResolve:
+    def test_wav_file(self, model, tmp_path):
+        wav = np.random.default_rng(0).normal(size=24000).astype(np.float32) * 0.1
+        p = tmp_path / "voice.wav"
+        audio_io.write_wav(p, wav, 24000)
+        vs = voices.resolve_voice(model, str(p))
+        assert vs.length > 0
+
+    def test_base64_wav(self, model, tmp_path):
+        wav = np.random.default_rng(1).normal(size=24000).astype(np.float32) * 0.1
+        b = audio_io.wav_bytes(wav, 24000)
+        vs = voices.resolve_voice(model, base64.b64encode(b).decode())
+        assert vs.length > 0
+
+    def test_data_url(self, model):
+        wav = np.zeros(24000, np.float32)
+        b = audio_io.wav_bytes(wav, 24000)
+        spec = "data:audio/wav;base64," + base64.b64encode(b).decode()
+        vs = voices.resolve_voice(model, spec)
+        assert vs.length > 0
+
+    def test_prompt_safetensors(self, model, tmp_path):
+        from safetensors.numpy import save_file
+
+        d = model.config.flow_lm.transformer.d_model
+        prompt = np.random.default_rng(2).normal(size=(1, 5, d)).astype(np.float32)
+        p = tmp_path / "stock.safetensors"
+        save_file({"audio_prompt": prompt}, str(p))
+        vs = voices.resolve_voice(model, str(p))
+        assert vs.length == 5
+
+    def test_unresolvable_raises(self, model):
+        with pytest.raises(ValueError):
+            voices.resolve_voice(model, "no_such_voice_xyz")
+
+    def test_cached_resolution_reuses(self, model, tmp_path):
+        wav = np.zeros(24000, np.float32)
+        p = tmp_path / "v.wav"
+        audio_io.write_wav(p, wav, 24000)
+        cache = voices.VoiceStateCache(4)
+        v1 = voices.resolve_voice_cached(model, str(p), cache)
+        v2 = voices.resolve_voice_cached(model, str(p), cache)
+        assert v1 is v2
+        assert len(cache) == 1
