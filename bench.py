@@ -70,6 +70,35 @@ def main():
         print(f"run {i}: {dur:.2f}s audio in {dt:.2f}s wall -> {x_rt:.1f}x realtime "
               f"({dt/ (wav.size/1920) * 1000:.2f} ms/frame)", file=sys.stderr)
 
+    # Batched serving throughput (stderr detail; headline stays single-stream).
+    try:
+        import threading
+
+        from pocket_tts_tpu.runtime.batcher import batched_tts
+
+        batcher = batched_tts(model, batch_size=8, chunk_frames=16)
+        _ = batcher.generate("Warm up the batched decode loop now please.",
+                             pauses=False)
+        results = [None] * 8
+
+        def run(i):
+            results[i] = batcher.generate(TEXT, pauses=False)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.perf_counter() - t0
+        total = sum(r.size for r in results) / model.sample_rate
+        print(f"batched B=8: {total:.1f}s audio in {dt:.2f}s -> aggregate "
+              f"{total/dt:.1f}x realtime ({total/dt/8:.1f}x per stream)",
+              file=sys.stderr)
+        batcher.stop()
+    except Exception as e:  # noqa: BLE001
+        print(f"batched bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "single_stream_x_realtime",
         "value": round(best, 2),

@@ -93,6 +93,7 @@ def cmd_serve(args) -> int:
         default_voice=args.default_voice,
         prewarm=tuple(args.prewarm or ()),
         warmup=not args.no_warmup,
+        batch_size=args.batch_size,
     )
     return 0
 
@@ -121,6 +122,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--prewarm", nargs="*", default=[],
                    help="voice specs to preload into the LRU")
     s.add_argument("--no-warmup", action="store_true")
+    s.add_argument("--batch-size", type=int, default=0,
+                   help=">1 enables continuous-batched serving")
     _add_gen_params(s)
     s.set_defaults(fn=cmd_serve)
     return p

@@ -1,0 +1,316 @@
+"""Continuous-batched serving: one decode loop, many concurrent requests.
+
+The reference serializes requests behind a global mutex
+(crates/pocket-tts-cli/src/server/state.rs:67-70) — one stream at a time.  On a
+TPU the model is tiny, so the only way to use the chip is batch: this module
+keeps a B-slot generation state resident and runs ONE scanned decode program
+over all slots continuously, admitting/retiring requests between chunks:
+
+* Each request is split into its (independent) <=50-token text segments up
+  front; segments of one request synthesize **in parallel** across slots and
+  are re-assembled in order on emit — long texts finish ~segments× faster than
+  the reference's inherently serial per-segment loop.
+* Admission: copy the request's voice snapshot into a free slot's cache lanes
+  (engine.admit_slot) and prefill its text with a per-slot t_valid vector —
+  in-flight slots see only causally-invisible garbage.
+* Per-slot temperature / EOS-threshold vectors; EOS + frame budgets tracked on
+  host; retired slots keep computing garbage until reused (the scan is
+  static-shape — idle lanes are the price of zero recompilation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from pocket_tts_tpu import pause as pause_mod
+from pocket_tts_tpu import text as text_mod
+from pocket_tts_tpu.runtime.engine import Engine, GenParams
+from pocket_tts_tpu.tts import TTSModel, VoiceState
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = object()
+
+
+@dataclasses.dataclass(eq=False)
+class _Segment:
+    request: "_Request"
+    index: int  # position within the request (for ordered reassembly)
+    kind: str  # "text" | "silence"
+    tokens: np.ndarray | None = None
+    n_tokens: int = 0
+    max_frames: int = 0
+    frames_after_eos: int = 0
+    silence_samples: int = 0
+    # filled during decode
+    chunks: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@dataclasses.dataclass(eq=False)
+class _Request:
+    voice: VoiceState
+    gen: GenParams
+    out: queue.Queue
+    segments: list = dataclasses.field(default_factory=list)
+    emitted_upto: int = 0  # next segment index to stream out
+    finished: bool = False
+    failed: bool = False
+
+    def pump(self):
+        """Emit chunks of completed-prefix segments in order."""
+        if self.finished:
+            return
+        while self.emitted_upto < len(self.segments):
+            seg = self.segments[self.emitted_upto]
+            for c in seg.chunks:
+                self.out.put(c)
+            seg.chunks = []
+            if not seg.done:
+                return
+            self.emitted_upto += 1
+        self.finished = True
+        self.out.put(_SENTINEL)
+
+
+@dataclasses.dataclass
+class _Slot:
+    segment: _Segment | None = None
+    frames_done: int = 0
+    eos_step: int | None = None
+
+    @property
+    def free(self) -> bool:
+        return self.segment is None
+
+    @property
+    def target(self) -> int:
+        if self.segment is None:
+            return 0
+        if self.eos_step is None:
+            return self.segment.max_frames
+        return min(self.segment.max_frames,
+                   self.eos_step + self.segment.frames_after_eos)
+
+
+class ContinuousBatcher:
+    """Owns a batched Engine and a background decode thread."""
+
+    def __init__(self, model: TTSModel, batch_size: int = 4,
+                 chunk_frames: int = 8, seed: int = 0):
+        self.model = model
+        self.batch = batch_size
+        self.chunk = chunk_frames
+        self.engine = Engine(model.config, model.params, batch_size=batch_size)
+        assert (model.config.runtime.mimi_ring
+                >= 16 * chunk_frames + model.config.mimi.transformer.context - 1)
+        self.tokenizer = model.tokenizer
+        self._key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._submit: queue.Queue[_Segment] = queue.Queue()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- public API ----------------------------------------------------------
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="tts-batcher")
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(self, text: str, voice: VoiceState | None = None,
+               gen: GenParams | None = None, *, pauses: bool = True) -> queue.Queue:
+        """Enqueue a request; returns a queue of float32 chunks ending with a
+        sentinel (use :meth:`stream` for an iterator).
+
+        ``pauses=True`` gives generate_with_pauses semantics ([pause:Xms] and
+        natural comma/ellipsis silence); ``False`` matches plain generate."""
+        if not text or not text.strip():
+            raise ValueError("Text prompt cannot be empty")
+        if voice is None:
+            voice = self.model.get_voice_state()
+        gen = gen or self.model.gen
+        req = _Request(voice=voice, gen=gen, out=queue.Queue())
+
+        if pauses:
+            parts = pause_mod.segment_text(text)
+        else:
+            parts = [pause_mod.Segment("text", text=text)]
+        index = 0
+        for part in parts:
+            if part.kind == "pause":
+                n = pause_mod.silence_samples(part.duration_ms,
+                                              self.model.sample_rate)
+                req.segments.append(_Segment(req, index, "silence",
+                                             silence_samples=n))
+                index += 1
+                continue
+            for chunk in text_mod.split_into_best_sentences(self.tokenizer,
+                                                            part.text):
+                prepared, fae = text_mod.prepare_text_prompt(chunk)
+                tokens, n_tokens = text_mod.tokens_array(self.tokenizer, prepared)
+                max_frames = text_mod.max_generation_frames(prepared)
+                room = (self.engine._rcfg.max_seq - voice.length - n_tokens - 1)
+                seg = _Segment(req, index, "text", tokens=tokens,
+                               n_tokens=n_tokens,
+                               max_frames=max(0, min(max_frames, room)),
+                               frames_after_eos=fae + 2)
+                req.segments.append(seg)
+                index += 1
+        if not req.segments:
+            req.out.put(_SENTINEL)
+            return req.out
+        for seg in req.segments:
+            if seg.kind == "silence":
+                seg.chunks = [np.zeros(seg.silence_samples, np.float32)]
+                seg.done = True
+            else:
+                self._submit.put(seg)
+        with self._lock:
+            req.pump()
+        return req.out
+
+    def stream(self, text: str, voice: VoiceState | None = None,
+               gen: GenParams | None = None,
+               timeout: float = 300.0, *, pauses: bool = True
+               ) -> Iterator[np.ndarray]:
+        out = self.submit(text, voice, gen, pauses=pauses)
+        while True:
+            item = out.get(timeout=timeout)
+            if item is _SENTINEL:
+                return
+            yield item
+
+    def generate(self, text: str, voice: VoiceState | None = None,
+                 gen: GenParams | None = None, *, pauses: bool = True) -> np.ndarray:
+        chunks = list(self.stream(text, voice, gen, pauses=pauses))
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    # -- decode loop -----------------------------------------------------------
+
+    def _run(self) -> None:
+        try:
+            self._run_inner()
+        except Exception:  # noqa: BLE001
+            logger.exception("batcher decode loop crashed")
+            # fail open: release anyone waiting on output queues
+            with self._lock:
+                while True:
+                    try:
+                        seg = self._submit.get_nowait()
+                    except queue.Empty:
+                        break
+                    seg.request.failed = True
+                    seg.request.out.put(_SENTINEL)
+
+    def _run_inner(self) -> None:
+        engine = self.engine
+        frame_size = engine.frame_size
+        slots = [_Slot() for _ in range(self.batch)]
+        state = engine.new_state(self.batch)
+        temps = np.full((self.batch,), 0.7, np.float32)
+        eos_th = np.full((self.batch,), -4.0, np.float32)
+        pending = None  # in-flight (owners, audio, is_eos) awaiting fetch
+
+        while not self._stop.is_set():
+            # 1. admit pending segments into free slots
+            admitted = False
+            t_valid = np.zeros((self.batch,), np.int32)
+            tokens = np.zeros((self.batch, 1), np.int32)
+            width = 1
+            for i, slot in enumerate(slots):
+                if not slot.free:
+                    continue
+                try:
+                    seg = self._submit.get_nowait()
+                except queue.Empty:
+                    break
+                state = engine.admit_slot(state, i, seg.request.voice.as_dict())
+                width = max(width, seg.tokens.shape[1])
+                t_valid[i] = seg.n_tokens
+                grown = np.zeros((self.batch, width), np.int32)
+                grown[:, : tokens.shape[1]] = tokens
+                tokens = grown
+                tokens[i, : seg.tokens.shape[1]] = seg.tokens[0]
+                slot.segment = seg
+                slot.frames_done = 0
+                slot.eos_step = None
+                temps[i] = seg.request.gen.temp
+                eos_th[i] = seg.request.gen.eos_threshold
+                admitted = True
+            if admitted:
+                state = engine.prefill_tokens(state, tokens, t_valid)
+
+            active = [s for s in slots if not s.free]
+            if not active:
+                if pending is not None:
+                    self._route(slots, *pending, frame_size)
+                    pending = None
+                if self._stop.wait(0.005):
+                    break
+                continue
+
+            # 2. dispatch one decode chunk over every slot; results of the
+            #    PREVIOUS chunk are fetched while this one computes (depth-1
+            #    pipeline hides the device->host round-trip).  Slot ownership
+            #    snapshot travels with the dispatch: routing must credit the
+            #    frames to the segments that were resident at dispatch time.
+            self._key, key = jax.random.split(self._key)
+            state, _, audio, is_eos = engine.decode_frames(
+                state, key, self.chunk, GenParams(), temps=temps,
+                eos_thresholds=eos_th)
+            owners = [s.segment for s in slots]
+            if pending is not None:
+                self._route(slots, *pending, frame_size)
+            pending = (owners, audio, is_eos)
+        if pending is not None:
+            self._route(slots, *pending, frame_size)
+
+    def _route(self, slots, owners, audio, is_eos, frame_size) -> None:
+        """Fetch one chunk's results and route frames to their segments."""
+        audio, eos = jax.device_get((audio, is_eos))
+        audio = np.asarray(audio).astype(np.float32) / 32767.0
+        eos = np.asarray(eos)
+        with self._lock:
+            touched_requests = set()
+            for i, slot in enumerate(slots):
+                seg = owners[i]
+                if seg is None or seg.done:
+                    continue
+                if slot.eos_step is None:
+                    hits = np.nonzero(eos[i])[0]
+                    if hits.size:
+                        slot.eos_step = slot.frames_done + int(hits[0])
+                emit = min(slot.target, slot.frames_done + self.chunk) \
+                    - slot.frames_done
+                if emit > 0:
+                    seg.chunks.append(audio[i, : emit * frame_size].copy())
+                slot.frames_done += self.chunk
+                if slot.frames_done >= slot.target:
+                    seg.done = True
+                    slot.segment = None
+                touched_requests.add(seg.request)
+            for req in touched_requests:
+                req.pump()
+
+
+def batched_tts(model: TTSModel, batch_size: int = 4,
+                chunk_frames: int = 8) -> ContinuousBatcher:
+    b = ContinuousBatcher(model, batch_size, chunk_frames)
+    b.start()
+    return b

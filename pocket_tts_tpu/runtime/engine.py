@@ -175,6 +175,44 @@ class Engine:
                            voice_state["vc"], voice_state["pos"],
                            batch=batch or self.batch)
 
+    # -- slot admission (continuous batching) --------------------------------
+
+    def _admit_impl(self, params, state, slot, kc_v, vc_v, pos_v):
+        """Install a (batch-1) voice snapshot into slot ``slot`` of a batched
+        GenState and reset that slot's latent + Mimi decoder lanes.  Other
+        slots' lanes are untouched, so admission can interleave with decoding."""
+        from jax import lax
+
+        def write(leaf, new, axis):
+            start = [0] * leaf.ndim
+            start[axis] = slot
+            return lax.dynamic_update_slice(leaf, new.astype(leaf.dtype),
+                                            tuple(start))
+
+        kc = write(state["kc"], kc_v, 1)
+        vc = write(state["vc"], vc_v, 1)
+        pos = write(state["pos"], pos_v.astype(jnp.int32), 0)
+        latent = write(state["latent"],
+                       params["bos_emb"].astype(jnp.float32)[None], 0)
+        fresh = mimi.init_decode_state(self.plans, 1, self._rcfg.mimi_ring,
+                                       self.dtype)
+        new_mimi = dict(state["mimi"])
+        new_mimi["kc"] = write(state["mimi"]["kc"], fresh["kc"], 1)
+        new_mimi["vc"] = write(state["mimi"]["vc"], fresh["vc"], 1)
+        for name in ("up", "pos", "dec"):
+            new_mimi[name] = jax.tree.map(
+                lambda leaf, f: write(leaf, f, 0),
+                state["mimi"][name], fresh[name])
+        return {"kc": kc, "vc": vc, "pos": pos, "latent": latent,
+                "mimi": new_mimi}
+
+    def admit_slot(self, state: dict, slot: int, voice_state: dict) -> dict:
+        if not hasattr(self, "_admit"):
+            self._admit = jax.jit(self._admit_impl, donate_argnums=(1,))
+        return self._admit(self.params["flow_lm"], state,
+                           np.int32(slot), voice_state["kc"],
+                           voice_state["vc"], voice_state["pos"])
+
     # -- prefill ----------------------------------------------------------
 
     def _prefill_tokens_impl(self, params, kc, vc, pos, tokens, t_valid):
@@ -184,14 +222,20 @@ class Engine:
     def _prefill_cond_impl(self, params, kc, vc, pos, cond, t_valid):
         return flow_lm.prefill(params, self.cfg, kc, vc, pos, cond, t_valid)
 
-    def prefill_tokens(self, state: dict, tokens: np.ndarray, n_valid: int) -> dict:
+    def prefill_tokens(self, state: dict, tokens: np.ndarray,
+                       n_valid: int | np.ndarray) -> dict:
+        """``n_valid`` may be a per-slot [B] vector (continuous batching: slots
+        with 0 valid tokens write only causally-invisible garbage beyond their
+        cursor and keep their position)."""
         b = tokens.shape[0]
         bucket = _bucket(tokens.shape[1], self._rcfg.text_buckets)
         padded = np.zeros((b, bucket), np.int32)
         padded[:, : tokens.shape[1]] = tokens
+        if np.isscalar(n_valid) or np.ndim(n_valid) == 0:
+            n_valid = np.full((b,), n_valid, np.int32)
         kc, vc, pos = self._prefill_tokens(
             self.params["flow_lm"], state["kc"], state["vc"], state["pos"],
-            jnp.asarray(padded), jnp.asarray(np.full((b,), n_valid, np.int32)),
+            jnp.asarray(padded), jnp.asarray(np.asarray(n_valid, np.int32)),
         )
         return {**state, "kc": kc, "vc": vc, "pos": pos}
 
@@ -227,7 +271,7 @@ class Engine:
         def body(carry, i):
             st, key = carry
             key, sub = jax.random.split(key)
-            std = jnp.sqrt(temp)
+            std = jnp.sqrt(temp)[:, None]  # [B, 1] — per-slot temperature
             if clamped:
                 bound = noise_clamp / jnp.maximum(std, 1e-12)
                 noise = jax.random.truncated_normal(
@@ -251,16 +295,30 @@ class Engine:
             params["mimi"], self.plans, state["mimi"], denorm.transpose(1, 2, 0)
         )
         state = {**flow_st, "mimi": mimi_state}
+        # Ship audio as int16 PCM: it is the final output format (16-bit WAV /
+        # raw PCM streams), and f32 transfers of ~1 MB hit a pathological slow
+        # path in the tunneled backend (2 s vs 3 ms).
         audio = audio[:, 0, :].astype(jnp.float32)  # [B, K*frame]
-        is_eos = (eos_logits > eos_threshold).T  # [B, K]
-        return state, key, audio, is_eos
+        audio_i16 = jnp.clip(audio, -1.0, 1.0) * 32767.0
+        audio_i16 = audio_i16.astype(jnp.int16)
+        is_eos = (eos_logits > eos_threshold[None, :]).T  # [B, K]
+        return state, key, audio_i16, is_eos
 
     def decode_frames(self, state: dict, key: jax.Array, n_frames: int,
-                      gen: GenParams) -> tuple[dict, jax.Array, np.ndarray, np.ndarray]:
+                      gen: GenParams, *, temps: np.ndarray | None = None,
+                      eos_thresholds: np.ndarray | None = None,
+                      ) -> tuple[dict, jax.Array, np.ndarray, np.ndarray]:
+        """``temps`` / ``eos_thresholds``: optional per-slot [B] vectors for the
+        continuous batcher; default broadcasts the request GenParams."""
+        b = state["pos"].shape[0]
+        if temps is None:
+            temps = np.full((b,), gen.temp, np.float32)
+        if eos_thresholds is None:
+            eos_thresholds = np.full((b,), gen.eos_threshold, np.float32)
         gen_args = (
-            jnp.float32(gen.temp),
+            jnp.asarray(temps, jnp.float32),
             jnp.float32(gen.noise_clamp if gen.noise_clamp is not None else 0.0),
-            jnp.float32(gen.eos_threshold),
+            jnp.asarray(eos_thresholds, jnp.float32),
         )
         state, key, audio, is_eos = self._decode(
             self.params, state, key, gen_args,

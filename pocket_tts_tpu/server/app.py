@@ -32,14 +32,26 @@ from pocket_tts_tpu.tts import TTSModel
 logger = logging.getLogger(__name__)
 
 
+class _NullContext:
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *a):
+        return False
+
+
 class ServerState:
     def __init__(self, model: TTSModel, *, voice_cache_capacity: int = 8,
-                 default_voice: str = voices_mod.DEFAULT_VOICE):
+                 default_voice: str = voices_mod.DEFAULT_VOICE,
+                 batcher=None):
         self.model = model
         self.cache = voices_mod.VoiceStateCache(voice_cache_capacity)
         self.default_voice = default_voice
+        self.batcher = batcher  # ContinuousBatcher: concurrent requests share
+        # one resident decode loop instead of serializing behind self.lock
         self.lock = asyncio.Lock()
-        self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        workers = 8 if batcher is not None else 1
+        self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
         self.started_at = time.time()
 
     def resolve(self, spec: str | None):
@@ -82,9 +94,14 @@ def create_app(state: ServerState):
                                      content_type="application/json")
         voice = state.resolve(body.get("voice"))
         loop = asyncio.get_running_loop()
-        async with state.lock:
+        if state.batcher is not None:
             wav = await loop.run_in_executor(
-                state.pool, lambda: model.generate_with_pauses(str(text), voice))
+                state.pool, lambda: state.batcher.generate(
+                    str(text), voice, model.gen))
+        else:
+            async with state.lock:
+                wav = await loop.run_in_executor(
+                    state.pool, lambda: model.generate_with_pauses(str(text), voice))
         return audio_io.wav_bytes(wav, model.sample_rate)
 
     @routes.post("/generate")
@@ -112,7 +129,11 @@ def create_app(state: ServerState):
 
         def producer():
             try:
-                for chunk in model.generate_stream_long(str(text), voice):
+                if state.batcher is not None:
+                    source = state.batcher.stream(str(text), voice, model.gen)
+                else:
+                    source = model.generate_stream_long(str(text), voice)
+                for chunk in source:
                     fut = asyncio.run_coroutine_threadsafe(
                         queue.put(audio_io.pcm_i16_le_bytes(chunk)), loop)
                     fut.result()
@@ -121,7 +142,8 @@ def create_app(state: ServerState):
                 logger.exception("stream producer failed")
                 asyncio.run_coroutine_threadsafe(queue.put(e), loop).result()
 
-        async with state.lock:
+        ctx = state.lock if state.batcher is None else _NullContext()
+        async with ctx:
             task = loop.run_in_executor(state.pool, producer)
             while True:
                 item = await queue.get()
@@ -176,13 +198,22 @@ def create_app(state: ServerState):
 def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
                  voice_cache_capacity: int = 8,
                  default_voice: str = voices_mod.DEFAULT_VOICE,
-                 prewarm: tuple[str, ...] = (), warmup: bool = True) -> None:
+                 prewarm: tuple[str, ...] = (), warmup: bool = True,
+                 batch_size: int = 0) -> None:
     """Blocking entry: preload default voice, prewarm LRU, warmup compile, serve
-    (reference: crates/pocket-tts-cli/src/server/mod.rs:15-166)."""
+    (reference: crates/pocket-tts-cli/src/server/mod.rs:15-166).
+
+    ``batch_size > 1`` enables continuous batching: concurrent requests share
+    one resident decode loop (the reference serializes requests instead)."""
     from aiohttp import web
 
+    batcher = None
+    if batch_size > 1:
+        from pocket_tts_tpu.runtime.batcher import batched_tts
+
+        batcher = batched_tts(model, batch_size=batch_size)
     state = ServerState(model, voice_cache_capacity=voice_cache_capacity,
-                        default_voice=default_voice)
+                        default_voice=default_voice, batcher=batcher)
     state.resolve(default_voice)
     for name in prewarm:
         state.resolve(name)

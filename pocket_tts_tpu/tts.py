@@ -218,7 +218,9 @@ class TTSModel:
             nonlocal frames_done, eos_step, total_samples
             k, audio, is_eos = pending.pop(0)
             audio, eos_np = jax.device_get((audio, is_eos))
-            audio, eos_np = np.asarray(audio)[0], np.asarray(eos_np)[0]
+            # device ships int16 PCM; the public API stays float32 in [-1, 1]
+            audio = np.asarray(audio)[0].astype(np.float32) / 32767.0
+            eos_np = np.asarray(eos_np)[0]
             if eos_step is None:
                 hits = np.nonzero(eos_np)[0]
                 if hits.size:
@@ -240,11 +242,6 @@ class TTSModel:
             if k is not None and issued < max_frames:
                 state, key, audio, is_eos = self.engine.decode_frames(
                     state, key, k, self.gen)
-                for arr in (audio, is_eos):  # start device->host DMA immediately
-                    try:
-                        arr.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 - optional fast path
-                        pass
                 pending.append((k, audio, is_eos))
                 issued += k
             if len(pending) > (depth if k is not None else 0):
