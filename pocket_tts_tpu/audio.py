@@ -50,7 +50,12 @@ def read_wav(path: str | Path | bytes) -> tuple[np.ndarray, int]:
 
 def pcm_i16_le_bytes(audio: np.ndarray) -> bytes:
     """float [-1,1] -> little-endian int16 PCM bytes — the single shared
-    conversion for CLI/HTTP streaming (crates/pocket-tts/src/audio.rs:110-146)."""
+    conversion for CLI/HTTP streaming (crates/pocket-tts/src/audio.rs:110-146).
+    Uses the native (C++) runtime when built; this is the pure fallback."""
+    from pocket_tts_tpu import native
+
+    if native.available():
+        return native.pcm_i16_le_bytes(np.asarray(audio, np.float32))
     clipped = np.clip(audio, -1.0, 1.0)
     return (clipped * 32767.0).astype("<i2").tobytes()
 
@@ -87,9 +92,14 @@ def wav_header(sample_rate: int, n_frames: int = 1_000_000_000) -> bytes:
 
 
 def resample(audio: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
-    """Polyphase resampling identical to the oracle's convert_audio."""
+    """Polyphase resampling identical to the oracle's convert_audio.
+    Dispatches to the native (C++) polyphase kernel when built."""
     if from_rate == to_rate:
         return audio
+    from pocket_tts_tpu import native
+
+    if native.available():
+        return native.resample(np.asarray(audio, np.float32), from_rate, to_rate)
     from scipy.signal import resample_poly
 
     g = math.gcd(int(from_rate), int(to_rate))
