@@ -170,6 +170,8 @@ class RuntimeConfig:
     encoder_block: int = 256
     # Audio-sample bucket sizes for the Mimi encoder (voice cloning), seconds.
     encode_seconds_buckets: tuple[float, ...] = (2.5, 5.0, 10.0, 20.0, 30.0)
+    # Fused Pallas kernels ("auto" = on TPU backends only).
+    use_pallas: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

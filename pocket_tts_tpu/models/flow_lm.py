@@ -84,6 +84,7 @@ def step(
     t_emb_table: jnp.ndarray,  # [num_steps, flow_dim]
     lsd_decode_steps: int,
     eos_threshold: float,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One autoregressive frame.  Returns (next_latent, eos_logit, kc, vc, pos)."""
     tcfg = cfg.flow_lm.transformer
@@ -102,7 +103,8 @@ def step(
 
     cond_emb = flow_mlp.embed_condition(params["flow"], h)
     next_latent = flow_mlp.lsd_decode(
-        params["flow"], cond_emb, t_emb_table, noise, lsd_decode_steps
+        params["flow"], cond_emb, t_emb_table, noise, lsd_decode_steps,
+        use_pallas=use_pallas,
     )
     _ = eos_threshold  # thresholding is done by the caller on the logit
     return next_latent, eos_logit, k_cache, v_cache, pos + 1

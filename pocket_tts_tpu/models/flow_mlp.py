@@ -83,15 +83,22 @@ def lsd_decode(
     t_emb_table: jnp.ndarray,
     noise: jnp.ndarray,
     num_steps: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Euler-integrate the flow from ``noise`` (python lsd_decode semantics).
 
     cond_emb: [B, dim] (already cond_embed-projected); t_emb_table: [N, dim].
+    ``use_pallas`` switches the block chain to the fused TPU kernel
+    (ops/pallas/flow_kernel.py) — numerically identical at f32.
     """
+    if use_pallas:
+        from pocket_tts_tpu.ops.pallas.flow_kernel import flow_step_pallas as step_fn
+    else:
+        step_fn = flow_step
     x = noise.astype(jnp.float32)
     for i in range(num_steps):
         y = t_emb_table[i] + cond_emb
-        v = flow_step(params, y, x)
+        v = step_fn(params, y, x)
         x = x + v.astype(jnp.float32) / num_steps
     return x
 

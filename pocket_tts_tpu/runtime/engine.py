@@ -118,6 +118,8 @@ class Engine:
         if dt == "auto":
             dt = "bfloat16" if jax.default_backend() != "cpu" else "float32"
         self.dtype = jnp.dtype(dt)
+        up = getattr(rcfg, "use_pallas", "auto")
+        self._use_pallas = (jax.default_backend() == "tpu") if up == "auto"             else up in ("1", "true", True)
         self.params = jax.jit(_cast_params, static_argnames=("dtype",)
                               )(params, dtype=self.dtype)
 
@@ -280,7 +282,7 @@ class Engine:
                 noise = jax.random.normal(sub, (b, self.ldim), jnp.float32) * std
             latent, eos_logit, kc, vc, pos = flow_lm.step(
                 params["flow_lm"], cfg, st["kc"], st["vc"], st["pos"], st["latent"],
-                noise, table, lsd_steps, 0.0,
+                noise, table, lsd_steps, 0.0, use_pallas=self._use_pallas,
             )
             new_st = {"kc": kc, "vc": vc, "pos": pos, "latent": latent}
             return (new_st, key), (latent, eos_logit)
