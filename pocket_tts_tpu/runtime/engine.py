@@ -343,10 +343,16 @@ class Engine:
         only affects frames beyond the valid count, which we slice off.
         """
         audio = np.asarray(audio, np.float32).reshape(1, 1, -1)
-        t = audio.shape[-1]
-        n_frames = -(-t // self.frame_size)
         buckets = [int(s * self.cfg.mimi.sample_rate)
                    for s in self._rcfg.encode_seconds_buckets]
+        if audio.shape[-1] > buckets[-1]:
+            # bounded like the reference's 30 s truncation (tts_model.py:612-616)
+            logger.warning("voice prompt %0.1f s exceeds the %0.1f s budget; "
+                           "truncating", audio.shape[-1] / self.cfg.mimi.sample_rate,
+                           buckets[-1] / self.cfg.mimi.sample_rate)
+            audio = audio[..., : buckets[-1]]
+        t = audio.shape[-1]
+        n_frames = -(-t // self.frame_size)
         target = _bucket(t, tuple(buckets))
         if t < target:
             audio = np.pad(audio, ((0, 0), (0, 0), (0, target - t)))

@@ -93,7 +93,12 @@ def split_into_best_sentences(tokenizer: TextTokenizer, text_to_generate: str) -
 
     sentences = []
     for start, end in zip(end_indices[:-1], end_indices[1:]):
-        sentences.append((end - start, tokenizer.decode(tokens[start:end])))
+        # A sentence with no internal punctuation can exceed the chunk budget
+        # on its own (the reference's dynamic shapes tolerate this; static
+        # buckets must not) — hard-split it at the token level.
+        for s in range(start, end, MAX_TOKENS_PER_CHUNK):
+            e = min(s + MAX_TOKENS_PER_CHUNK, end)
+            sentences.append((e - s, tokenizer.decode(tokens[s:e])))
 
     chunks: list[str] = []
     current = ""
