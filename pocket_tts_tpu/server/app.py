@@ -77,6 +77,13 @@ def create_app(state: ServerState):
 
     routes = web.RouteTableDef()
 
+    @routes.get("/")
+    async def index(request):
+        from pathlib import Path
+
+        html = (Path(__file__).parent / "webui.html").read_text()
+        return web.Response(text=html, content_type="text/html")
+
     @routes.get("/health")
     async def health(request):
         return web.json_response({

@@ -92,6 +92,26 @@ class TTSModel:
                         noise_clamp=noise_clamp, eos_threshold=eos_threshold)
         return cls(cfg, params, gen=gen, has_real_weights=real, seed=seed)
 
+    @classmethod
+    def load_from_bytes(cls, weights_bytes: bytes,
+                        variant: str = DEFAULT_VARIANT, **kwargs) -> "TTSModel":
+        """Construct from in-memory safetensors bytes (the reference's WASM
+        loader entry, tts_model.rs:239-276)."""
+        import tempfile
+
+        from pocket_tts_tpu.models.mimi import MimiPlans
+
+        cfg = load_variant(variant)
+        with tempfile.NamedTemporaryFile(suffix=".safetensors") as f:
+            f.write(weights_bytes)
+            f.flush()
+            sd = weights_mod.load_safetensors(f.name)
+        params = weights_mod.convert_tts_state_dict(sd, cfg, MimiPlans(cfg.mimi))
+        gen = GenParams(**{k: v for k, v in kwargs.items()
+                           if k in ("temp", "lsd_decode_steps", "noise_clamp",
+                                    "eos_threshold")})
+        return cls(cfg, params, gen=gen, has_real_weights=True)
+
     def with_params(self, **overrides) -> "TTSModel":
         """Cheap per-request override clone (shares params/engine;
         reference: handlers.rs:147-160)."""
@@ -144,6 +164,16 @@ class TTSModel:
         with safe_open(str(path), framework="numpy") as f:
             prompt = f.get_tensor("audio_prompt").astype(np.float32)
         return self.get_voice_state_from_prompt(prompt)
+
+    def save_voice_prompt(self, wav: np.ndarray, path: str | Path) -> None:
+        """Encode a 24 kHz waveform and save the conditioning as an
+        ``audio_prompt`` safetensors — the stock-voice artifact format
+        (tts_model.py:624-628), loadable via get_voice_state_from_prompt_file."""
+        from safetensors.numpy import save_file
+
+        cond, n_frames = self.engine.encode_voice(wav)
+        save_file({"audio_prompt": np.asarray(cond[:, :n_frames], np.float32)},
+                  str(path))
 
     def _prefill_voice(self, cond, n_frames: int) -> VoiceState:
         st = self.engine.new_state()

@@ -98,3 +98,20 @@ class TestResolve:
         v2 = voices.resolve_voice_cached(model, str(p), cache)
         assert v1 is v2
         assert len(cache) == 1
+
+
+class TestVoicePromptArtifacts:
+    def test_save_then_load_voice_prompt(self, model, tmp_path):
+        """save_voice_prompt -> get_voice_state_from_prompt_file round trip
+        must equal the direct wav path (the stock-voice artifact flow)."""
+        import numpy as np
+
+        wav = np.random.default_rng(5).normal(size=24000).astype(np.float32) * 0.1
+        p = tmp_path / "me.safetensors"
+        model.save_voice_prompt(wav, p)
+        via_file = model.get_voice_state_from_prompt_file(p)
+        direct = model.get_voice_state_from_audio(wav)
+        assert via_file.length == direct.length
+        a = model.generate("Artifact round trip.", via_file)
+        b = model.generate("Artifact round trip.", direct)
+        np.testing.assert_allclose(a, b, atol=1e-4)
