@@ -93,7 +93,8 @@ def quantization_snr_db(w: jnp.ndarray, qt: QTensor) -> float:
 # embeddings, LUTs, attention out_proj, and the EOS head stay full precision;
 # tensors smaller than min_size aren't worth it.
 SKIP_SUBSTRINGS = ("embed", "lut", "out_proj", "out_eos", "speaker_proj",
-                   "norm", "alpha", "scale", "bos", "emb_")
+                   "norm", "alpha", "scale", "bos", "emb_", "ls1", "ls2",
+                   "ln_w", "ln_b")
 MIN_SIZE = 1024
 
 

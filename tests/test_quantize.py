@@ -35,6 +35,9 @@ class TestQTensor:
 
     def test_skip_policy(self):
         big = jnp.ones((64, 64))
+        # LayerScale vectors must never quantize (caught live on TPU where the
+        # full-size model exceeds MIN_SIZE)
+        assert not should_quantize("mimi/dec_tf/layers/ls1", jnp.ones((2, 512)))
         assert should_quantize("tf/ff1", big)
         assert not should_quantize("flow_lm/text_embed", big)
         assert not should_quantize("tf/out_proj", big)
