@@ -23,10 +23,16 @@ import numpy as np
 
 BASELINE_X_REALTIME = 3.0  # reference Rust CPU: RTF 0.33 => 3x real-time
 
+# Three full sentences of ~40 tokens each: each becomes one clean generation
+# segment (<=50-token chunks), so the measurement reflects steady-state decode
+# rather than a degenerate short tail segment.
 TEXT = (
     "The quick brown fox jumps over the lazy dog while the orchestra plays a "
-    "quiet waltz in the background, and the narrator keeps a steady, measured "
-    "pace through every single sentence of this benchmark paragraph."
+    "quiet waltz in the background of the grand concert hall. "
+    "The narrator keeps a steady and measured pace through every sentence of "
+    "this benchmark paragraph without ever rushing a single word. "
+    "Meanwhile the audience listens carefully to every syllable that the "
+    "speaker pronounces with such deliberate and unhurried precision."
 )
 
 
