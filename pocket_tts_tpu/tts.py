@@ -186,19 +186,24 @@ class TTSModel:
         prepared, _ = text_mod.prepare_text_prompt(text)
         return text_mod.max_generation_frames(prepared)
 
-    def generate(self, text: str, voice_state: VoiceState | None = None) -> np.ndarray:
-        """Synthesize ``text`` -> float32 waveform [samples] @ 24 kHz."""
-        chunks = list(self.generate_stream(text, voice_state))
+    def generate(self, text: str, voice_state: VoiceState | None = None,
+                 frames_after_eos: int | None = None) -> np.ndarray:
+        """Synthesize ``text`` -> float32 waveform [samples] @ 24 kHz.
+
+        ``frames_after_eos``: extra frames after EOS detection; None derives it
+        from the text length (1-3 frames + 2, reference tts_model.py:326-330)."""
+        chunks = list(self.generate_stream(text, voice_state, frames_after_eos))
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
-    def generate_stream(self, text: str, voice_state: VoiceState | None = None
+    def generate_stream(self, text: str, voice_state: VoiceState | None = None,
+                        frames_after_eos: int | None = None
                         ) -> Iterator[np.ndarray]:
         """Stream audio chunks.  Text is split into <=50-token sentence chunks;
         each restarts from the voice state (tts_model.py:396-411)."""
         if voice_state is None:
             voice_state = self.get_voice_state()
         for chunk in text_mod.split_into_best_sentences(self.tokenizer, text):
-            yield from self._generate_segment(chunk, voice_state)
+            yield from self._generate_segment(chunk, voice_state, frames_after_eos)
 
     def generate_with_pauses(self, text: str,
                              voice_state: VoiceState | None = None) -> np.ndarray:
@@ -220,11 +225,13 @@ class TTSModel:
 
     # -- internals -------------------------------------------------------------
 
-    def _generate_segment(self, chunk: str, voice_state: VoiceState
+    def _generate_segment(self, chunk: str, voice_state: VoiceState,
+                          frames_after_eos: int | None = None
                           ) -> Iterator[np.ndarray]:
         t_start = time.monotonic()
         prepared, fae_guess = text_mod.prepare_text_prompt(chunk)
-        frames_after_eos = fae_guess + 2  # tts_model.py:405
+        if frames_after_eos is None:
+            frames_after_eos = fae_guess + 2  # tts_model.py:405
         max_frames = text_mod.max_generation_frames(prepared)
 
         tokens, n_tokens = text_mod.tokens_array(self.tokenizer, prepared)
