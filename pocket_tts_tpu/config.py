@@ -172,6 +172,9 @@ class RuntimeConfig:
     encode_seconds_buckets: tuple[float, ...] = (2.5, 5.0, 10.0, 20.0, 30.0)
     # Fused Pallas kernels ("auto" = on TPU backends only).
     use_pallas: str = "auto"
+    # Static attention-window buckets for decode: the scan attends over the
+    # smallest bucket covering max(pos)+K instead of the whole max_seq cache.
+    window_buckets: tuple[int, ...] = (256, 512, 768)
 
 
 @dataclasses.dataclass(frozen=True)

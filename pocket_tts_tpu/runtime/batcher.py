@@ -86,6 +86,7 @@ class _Slot:
     segment: _Segment | None = None
     frames_done: int = 0
     eos_step: int | None = None
+    base_pos: int = 0  # voice length + text tokens (for window bucketing)
 
     @property
     def free(self) -> bool:
@@ -250,6 +251,7 @@ class ContinuousBatcher:
                 slot.segment = seg
                 slot.frames_done = 0
                 slot.eos_step = None
+                slot.base_pos = seg.request.voice.length + seg.n_tokens
                 temps[i] = seg.request.gen.temp
                 eos_th[i] = seg.request.gen.eos_threshold
                 admitted = True
@@ -265,6 +267,8 @@ class ContinuousBatcher:
                     break
                 continue
 
+            window = engine.window_for(
+                max(s.base_pos + s.frames_done for s in active), self.chunk)
             # 2. dispatch one decode chunk over every slot; results of the
             #    PREVIOUS chunk are fetched while this one computes (depth-1
             #    pipeline hides the device->host round-trip).  Slot ownership
@@ -273,7 +277,7 @@ class ContinuousBatcher:
             self._key, key = jax.random.split(self._key)
             state, _, audio, is_eos = engine.decode_frames(
                 state, key, self.chunk, GenParams(), temps=temps,
-                eos_thresholds=eos_th)
+                eos_thresholds=eos_th, window=window)
             owners = [s.segment for s in slots]
             if pending is not None:
                 self._route(slots, *pending, frame_size)

@@ -131,7 +131,7 @@ class Engine:
         self._prefill_cond = jax.jit(self._prefill_cond_impl)
         self._decode = jax.jit(
             self._decode_impl,
-            static_argnames=("n_frames", "lsd_steps", "clamped"),
+            static_argnames=("n_frames", "lsd_steps", "clamped", "window"),
             donate_argnums=(1,),
         )
         self._encode = jax.jit(self._encode_impl)
@@ -256,7 +256,7 @@ class Engine:
     # -- decode -----------------------------------------------------------
 
     def _decode_impl(self, params, state, key, gen, *, n_frames: int,
-                     lsd_steps: int, clamped: bool):
+                     lsd_steps: int, clamped: bool, window: int = 0):
         """K frames per dispatch, in two stages:
 
         1. ``lax.scan`` over the (inherently sequential) FlowLM AR steps,
@@ -264,11 +264,22 @@ class Engine:
         2. ONE grouped Mimi decode over all K frames (16K steps @ 200 Hz) —
            grouped codec decode is ~13x cheaper per frame than framewise
            (convs and attention get real sequence lengths to chew on).
+
+        ``window`` (static): if nonzero, the scan runs over only the first
+        ``window`` cache positions — attention cost scales with live context
+        instead of max_seq.  The caller guarantees max(pos) + K <= window; the
+        window prefix is merged back afterwards (two ~window-sized copies per
+        CHUNK, vs a per-FRAME attention over the dead tail).
         """
         cfg = self.cfg
         table = flow_mlp.time_embedding_table(params["flow_lm"]["flow"], lsd_steps)
         b = state["pos"].shape[0]
         temp, noise_clamp, eos_threshold = gen
+        full_kc, full_vc = state["kc"], state["vc"]
+        if window:
+            state = dict(state)
+            state["kc"] = full_kc[:, :, :window]
+            state["vc"] = full_vc[:, :, :window]
 
         def body(carry, i):
             st, key = carry
@@ -291,6 +302,10 @@ class Engine:
         (flow_st, key), (latents, eos_logits) = jax.lax.scan(
             body, (flow_st, key), jnp.arange(n_frames)
         )
+        if window:
+            zero = (0,) * full_kc.ndim
+            flow_st["kc"] = jax.lax.dynamic_update_slice(full_kc, flow_st["kc"], zero)
+            flow_st["vc"] = jax.lax.dynamic_update_slice(full_vc, flow_st["vc"], zero)
         # latents: [K, B, ldim] -> denormalize -> [B, ldim, K] for the codec
         denorm = flow_lm.denormalize(params["flow_lm"], latents)
         audio, mimi_state = mimi.decode_step(
@@ -306,12 +321,22 @@ class Engine:
         is_eos = (eos_logits > eos_threshold[None, :]).T  # [B, K]
         return state, key, audio_i16, is_eos
 
+    def window_for(self, max_pos: int, n_frames: int) -> int:
+        """Smallest window bucket covering max(pos) + n_frames (0 = full)."""
+        need = max_pos + n_frames
+        for w in getattr(self._rcfg, "window_buckets", ()):
+            if need <= w < self._rcfg.max_seq:
+                return w
+        return 0
+
     def decode_frames(self, state: dict, key: jax.Array, n_frames: int,
                       gen: GenParams, *, temps: np.ndarray | None = None,
                       eos_thresholds: np.ndarray | None = None,
+                      window: int = 0,
                       ) -> tuple[dict, jax.Array, np.ndarray, np.ndarray]:
         """``temps`` / ``eos_thresholds``: optional per-slot [B] vectors for the
-        continuous batcher; default broadcasts the request GenParams."""
+        continuous batcher; default broadcasts the request GenParams.
+        ``window``: static attention window (see _decode_impl)."""
         b = state["pos"].shape[0]
         if temps is None:
             temps = np.full((b,), gen.temp, np.float32)
@@ -325,7 +350,7 @@ class Engine:
         state, key, audio, is_eos = self._decode(
             self.params, state, key, gen_args,
             n_frames=n_frames, lsd_steps=gen.lsd_decode_steps,
-            clamped=gen.noise_clamp is not None,
+            clamped=gen.noise_clamp is not None, window=window,
         )
         return state, key, audio, is_eos
 

@@ -273,12 +273,14 @@ class TTSModel:
             return None, frames_done >= target
 
         depth = max(1, getattr(self.engine._rcfg, "pipeline_depth", 1))
+        base_pos = voice_state.length + n_tokens
         done = False
         while not done:
             k = next(schedule, None)
             if k is not None and issued < max_frames:
+                window = self.engine.window_for(base_pos + issued, k)
                 state, key, audio, is_eos = self.engine.decode_frames(
-                    state, key, k, self.gen)
+                    state, key, k, self.gen, window=window)
                 pending.append((k, audio, is_eos))
                 issued += k
             if len(pending) > (depth if k is not None else 0):
