@@ -19,7 +19,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-import numpy as np
 
 BASELINE_X_REALTIME = 3.0  # reference Rust CPU: RTF 0.33 => 3x real-time
 

@@ -154,18 +154,18 @@ class RuntimeConfig:
     max_seq: int = 1024
     # Mimi decoder ring capacity.  Ring writes must never wrap (cap % write-width
     # == 0) and the 250-step window must survive the largest grouped write:
-    # cap - 16*max_chunk >= context.  2048 covers chunks up to 64 frames.
-    mimi_ring: int = 2048
+    # cap - 16*max_chunk >= context.  4096 covers chunks up to 128 frames.
+    mimi_ring: int = 4096
     # Static bucket sizes for text prefill (token counts).
     text_buckets: tuple[int, ...] = (8, 16, 32, 64)
     # Static bucket sizes for voice-prompt conditioning prefill (12.5 Hz frames).
     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
     # Decode chunk schedule: frames generated per device dispatch.  Warm-up with
     # small chunks for low first-audio latency, then amortize dispatch.
-    decode_chunks: tuple[int, ...] = (2, 4, 8, 16, 32, 64)
+    decode_chunks: tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128)
     # How many decode chunks are dispatched ahead of the host reading results —
     # hides the device->host sync round-trip (~25 ms on tunneled backends).
-    pipeline_depth: int = 2
+    pipeline_depth: int = 3
     # Query block for banded (windowed) batch attention in the Mimi encoder.
     encoder_block: int = 256
     # Audio-sample bucket sizes for the Mimi encoder (voice cloning), seconds.

@@ -23,7 +23,6 @@ from pocket_tts_tpu.ops.conv import (
     ConvTrSpec,
     batch_conv1d,
     batch_conv_transpose1d,
-    conv_init_state,
     convtr_init_state,
     pad_for_frame,
     streaming_conv_transpose1d,

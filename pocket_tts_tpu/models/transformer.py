@@ -97,14 +97,34 @@ def _post_attn(p_layer: dict, x: jnp.ndarray, attn: jnp.ndarray):
 def cache_forward(
     params: dict,
     n_heads: int,
-    k_cache: jnp.ndarray,  # [L, B, S, H, D]
-    v_cache: jnp.ndarray,
+    k_cache,  # stacked [L, B, S, H, D] OR tuple of per-layer [B, S, H, D]
+    v_cache,
     pos: jnp.ndarray,  # [B] int32, shared across layers
     x: jnp.ndarray,  # [B, T, E]
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense-cache causal transformer step; returns (y, k_cache, v_cache)."""
+):
+    """Dense-cache causal transformer step; returns (y, k_cache, v_cache).
+
+    Two cache forms:
+    * stacked array — used at jit boundaries and in prefill (the scan's
+      per-layer slicing is amortized over the prefill's T tokens);
+    * tuple of per-layer arrays — used inside the frame-decode scan, where
+      scanning a stacked cache as xs costs ~0.12 ms/frame of slice/restack
+      (profiled); separate carries update in place with plain DUS.
+    """
+    if isinstance(k_cache, (tuple, list)):
+        kcs, vcs = [], []
+        for i in range(len(k_cache)):
+            p_layer = jax.tree.map(lambda a: a[i], params)
+            q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
+            kc = cache_write(k_cache[i], k, pos)
+            vc = cache_write(v_cache[i], v, pos)
+            attn = causal_cache_attention(q, kc, vc, pos)
+            x = _post_attn(p_layer, x, attn)
+            kcs.append(kc)
+            vcs.append(vc)
+        return x, tuple(kcs), tuple(vcs)
 
     def layer(x, xs):
         p_layer, kc, vc = xs

@@ -107,12 +107,23 @@ class ContinuousBatcher:
 
     def __init__(self, model: TTSModel, batch_size: int = 4,
                  chunk_frames: int = 8, seed: int = 0):
+        import dataclasses
+
         self.model = model
         self.batch = batch_size
         self.chunk = chunk_frames
-        self.engine = Engine(model.config, model.params, batch_size=batch_size)
-        assert (model.config.runtime.mimi_ring
-                >= 16 * chunk_frames + model.config.mimi.transformer.context - 1)
+        # right-size the codec ring for this chunk width: the single-stream
+        # config sizes it for 128-frame chunks, which at batch 8 wastes ~50 MB
+        # of per-frame ring traffic
+        need = 16 * chunk_frames + model.config.mimi.transformer.context - 1
+        ring = 16 * chunk_frames
+        while ring < need:
+            ring *= 2
+        cfg = dataclasses.replace(
+            model.config,
+            runtime=dataclasses.replace(model.config.runtime, mimi_ring=ring))
+        self.engine = Engine(cfg, model.params, batch_size=batch_size)
+        assert ring >= need
         self.tokenizer = model.tokenizer
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
         self._submit: queue.Queue[_Segment] = queue.Queue()

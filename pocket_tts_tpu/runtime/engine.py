@@ -21,7 +21,6 @@ This is the TPU-native replacement for the reference's per-frame host loop
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 from typing import Any
 
@@ -280,6 +279,12 @@ class Engine:
             state = dict(state)
             state["kc"] = full_kc[:, :, :window]
             state["vc"] = full_vc[:, :, :window]
+        # split the stacked cache into per-layer carries for the frame scan
+        # (see transformer.cache_forward); restacked once after the scan
+        n_layers = self._tcfg.num_layers
+        state = dict(state)
+        state["kc"] = tuple(state["kc"][i] for i in range(n_layers))
+        state["vc"] = tuple(state["vc"][i] for i in range(n_layers))
 
         def body(carry, i):
             st, key = carry
@@ -302,6 +307,8 @@ class Engine:
         (flow_st, key), (latents, eos_logits) = jax.lax.scan(
             body, (flow_st, key), jnp.arange(n_frames)
         )
+        flow_st["kc"] = jnp.stack(flow_st["kc"])
+        flow_st["vc"] = jnp.stack(flow_st["vc"])
         if window:
             zero = (0,) * full_kc.ndim
             flow_st["kc"] = jax.lax.dynamic_update_slice(full_kc, flow_st["kc"], zero)
