@@ -19,33 +19,55 @@ import numpy as np
 def read_wav(path: str | Path | bytes) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 [channels, samples] in [-1, 1], sample_rate).
 
-    Tolerates 16/24/32-bit PCM and 32-bit float; mixes nothing (mono source
-    expected, stereo returned as 2 channels)."""
+    Direct RIFF parser (stdlib ``wave`` rejects IEEE-float files): handles
+    PCM 8/16/24/32-bit and 32-bit float, skips unknown chunks, and tolerates
+    truncated data sections like the reference reader (audio.rs:36-50)."""
     if isinstance(path, bytes):
-        f = wave.open(io.BytesIO(path), "rb")
+        buf = path
     else:
-        f = wave.open(str(path), "rb")
-    with f:
-        sr = f.getframerate()
-        n_ch = f.getnchannels()
-        width = f.getsampwidth()
-        raw = f.readframes(f.getnframes())
-    if width == 2:
-        samples = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
-    elif width == 4:
-        samples = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
-    elif width == 3:
-        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
-        val = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
-               | (b[:, 2].astype(np.int32) << 16))
-        val = np.where(val >= 1 << 23, val - (1 << 24), val)
-        samples = val.astype(np.float32) / float(1 << 23)
-    elif width == 1:
-        samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
-    else:
-        raise ValueError(f"Unsupported sample width {width}")
-    samples = samples.reshape(-1, n_ch).T
-    return np.ascontiguousarray(samples), sr
+        buf = Path(path).read_bytes()
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("Not a RIFF/WAVE file")
+    off = 12
+    fmt = None
+    while off + 8 <= len(buf):
+        cid = buf[off:off + 4]
+        (size,) = np.frombuffer(buf[off + 4:off + 8], "<u4")
+        size = int(size)
+        if cid == b"fmt " and off + 24 <= len(buf):
+            body = off + 8  # tag u16, channels u16, rate u32, byterate u32,
+            #                 blockalign u16, bits u16
+            tag = int(np.frombuffer(buf[body:body + 2], "<u2")[0])
+            n_ch = int(np.frombuffer(buf[body + 2:body + 4], "<u2")[0])
+            sr = int(np.frombuffer(buf[body + 4:body + 8], "<u4")[0])
+            bits = int(np.frombuffer(buf[body + 14:body + 16], "<u2")[0])
+            fmt = (tag, n_ch, sr, bits)
+        elif cid == b"data" and fmt is not None:
+            tag, n_ch, sr, bits = fmt
+            raw = buf[off + 8: off + 8 + size]  # tolerate truncation
+            bytes_per = max(bits // 8, 1)
+            raw = raw[: len(raw) - len(raw) % (bytes_per * n_ch)]
+            if tag == 3 and bits == 32:
+                samples = np.frombuffer(raw, "<f4").astype(np.float32)
+            elif bits == 16:
+                samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+            elif bits == 32:
+                samples = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+            elif bits == 24:
+                b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                val = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+                       | (b[:, 2].astype(np.int32) << 16))
+                val = np.where(val >= 1 << 23, val - (1 << 24), val)
+                samples = val.astype(np.float32) / float(1 << 23)
+            elif bits == 8:
+                samples = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                           - 128.0) / 128.0
+            else:
+                raise ValueError(f"Unsupported WAV format tag={tag} bits={bits}")
+            samples = samples.reshape(-1, n_ch).T
+            return np.ascontiguousarray(samples), sr
+        off += 8 + size + (size & 1)
+    raise ValueError("No data chunk found in WAV file")
 
 
 def pcm_i16_le_bytes(audio: np.ndarray) -> bytes:
@@ -120,6 +142,10 @@ def convert_audio(audio: np.ndarray, from_rate: int, to_rate: int,
 
 
 def normalize_peak(audio: np.ndarray, peak: float = 0.99) -> np.ndarray:
+    from pocket_tts_tpu import native
+
+    if native.available():
+        return native.normalize_peak(np.asarray(audio, np.float32), peak)
     m = float(np.max(np.abs(audio))) if audio.size else 0.0
     if m <= peak or m == 0.0:
         return audio

@@ -186,18 +186,6 @@ class Config:
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
 
 
-def _build(cls, data: dict[str, Any]):
-    kwargs = {}
-    for field in dataclasses.fields(cls):
-        if field.name not in data:
-            continue
-        value = data[field.name]
-        if dataclasses.is_dataclass(field.type) if isinstance(field.type, type) else False:
-            value = _build(field.type, value)
-        kwargs[field.name] = value
-    return cls(**kwargs)
-
-
 _NESTED = {
     "flow": FlowConfig,
     "transformer": None,  # context-dependent

@@ -84,7 +84,8 @@ class _Request:
 @dataclasses.dataclass
 class _Slot:
     segment: _Segment | None = None
-    frames_done: int = 0
+    frames_done: int = 0   # frames fetched & routed
+    dispatched: int = 0    # frames dispatched to the device (>= frames_done)
     eos_step: int | None = None
     base_pos: int = 0  # voice length + text tokens (for window bucketing)
 
@@ -130,6 +131,8 @@ class ContinuousBatcher:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._dead = False
+        self._active: set[_Request] = set()  # requests not yet finished
 
     # -- public API ----------------------------------------------------------
 
@@ -154,6 +157,16 @@ class ContinuousBatcher:
         natural comma/ellipsis silence); ``False`` matches plain generate."""
         if not text or not text.strip():
             raise ValueError("Text prompt cannot be empty")
+        if self._dead:
+            raise RuntimeError("batcher decode loop has crashed; restart it")
+        gen_req = gen or self.model.gen
+        if (gen_req.lsd_decode_steps != self.model.gen.lsd_decode_steps
+                or gen_req.noise_clamp != self.model.gen.noise_clamp):
+            # lsd/noise_clamp are compile-static and shared across the batch;
+            # per-slot values aren't possible — the server routes such requests
+            # through the single-flight path instead
+            logger.warning("batched decode ignores per-request lsd_decode_steps/"
+                           "noise_clamp (using the server's %s)", self.model.gen)
         if voice is None:
             voice = self.model.get_voice_state()
         gen = gen or self.model.gen
@@ -191,21 +204,26 @@ class ContinuousBatcher:
             if seg.kind == "silence":
                 seg.chunks = [np.zeros(seg.silence_samples, np.float32)]
                 seg.done = True
-            else:
-                self._submit.put(seg)
         with self._lock:
+            self._active.add(req)
             req.pump()
+        # enqueue only after registration so a crash can always fail us open
+        for seg in req.segments:
+            if seg.kind == "text":
+                self._submit.put(seg)
         return req.out
 
     def stream(self, text: str, voice: VoiceState | None = None,
                gen: GenParams | None = None,
                timeout: float = 300.0, *, pauses: bool = True
                ) -> Iterator[np.ndarray]:
-        out = self.submit(text, voice, gen, pauses=pauses)
+        req_out = self.submit(text, voice, gen, pauses=pauses)
         while True:
-            item = out.get(timeout=timeout)
+            item = req_out.get(timeout=timeout)
             if item is _SENTINEL:
                 return
+            if isinstance(item, Exception):
+                raise item
             yield item
 
     def generate(self, text: str, voice: VoiceState | None = None,
@@ -218,17 +236,23 @@ class ContinuousBatcher:
     def _run(self) -> None:
         try:
             self._run_inner()
-        except Exception:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001
             logger.exception("batcher decode loop crashed")
-            # fail open: release anyone waiting on output queues
+            # fail open: surface the error to EVERY unfinished request (queued,
+            # in-slot, or mid-stream) and refuse new submissions
+            self._dead = True
             with self._lock:
                 while True:
                     try:
-                        seg = self._submit.get_nowait()
+                        self._submit.get_nowait()
                     except queue.Empty:
                         break
-                    seg.request.failed = True
-                    seg.request.out.put(_SENTINEL)
+                for req in list(self._active):
+                    req.failed = True
+                    req.finished = True
+                    req.out.put(RuntimeError(f"batcher crashed: {e!r}"))
+                    req.out.put(_SENTINEL)
+                self._active.clear()
 
     def _run_inner(self) -> None:
         engine = self.engine
@@ -261,6 +285,7 @@ class ContinuousBatcher:
                 tokens[i, : seg.tokens.shape[1]] = seg.tokens[0]
                 slot.segment = seg
                 slot.frames_done = 0
+                slot.dispatched = 0
                 slot.eos_step = None
                 slot.base_pos = seg.request.voice.length + seg.n_tokens
                 temps[i] = seg.request.gen.temp
@@ -278,8 +303,12 @@ class ContinuousBatcher:
                     break
                 continue
 
+            # window must cover the DISPATCHED frontier, not the routed one —
+            # with the depth-1 pipeline frames_done lags by one chunk, and a
+            # too-small window would clamp KV writes onto the window edge
+            # (silent cache corruption)
             window = engine.window_for(
-                max(s.base_pos + s.frames_done for s in active), self.chunk)
+                max(s.base_pos + s.dispatched for s in active), self.chunk)
             # 2. dispatch one decode chunk over every slot; results of the
             #    PREVIOUS chunk are fetched while this one computes (depth-1
             #    pipeline hides the device->host round-trip).  Slot ownership
@@ -287,8 +316,10 @@ class ContinuousBatcher:
             #    frames to the segments that were resident at dispatch time.
             self._key, key = jax.random.split(self._key)
             state, _, audio, is_eos = engine.decode_frames(
-                state, key, self.chunk, GenParams(), temps=temps,
+                state, key, self.chunk, self.model.gen, temps=temps,
                 eos_thresholds=eos_th, window=window)
+            for s in active:
+                s.dispatched += self.chunk
             owners = [s.segment for s in slots]
             if pending is not None:
                 self._route(slots, *pending, frame_size)
@@ -322,6 +353,8 @@ class ContinuousBatcher:
                 touched_requests.add(seg.request)
             for req in touched_requests:
                 req.pump()
+                if req.finished:
+                    self._active.discard(req)
 
 
 def batched_tts(model: TTSModel, batch_size: int = 4,

@@ -99,13 +99,22 @@ def create_app(state: ServerState):
         if not text or not str(text).strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
                                      content_type="application/json")
-        voice = state.resolve(body.get("voice"))
         loop = asyncio.get_running_loop()
-        if state.batcher is not None:
+        # voice resolution can run the Mimi encoder (seconds of device work) —
+        # never on the event loop
+        voice = await loop.run_in_executor(
+            state.pool, state.resolve, body.get("voice"))
+        base = state.model
+        batchable = (state.batcher is not None
+                     and model.gen.lsd_decode_steps == base.gen.lsd_decode_steps
+                     and model.gen.noise_clamp == base.gen.noise_clamp)
+        if batchable:
             wav = await loop.run_in_executor(
                 state.pool, lambda: state.batcher.generate(
                     str(text), voice, model.gen))
         else:
+            # lsd/noise_clamp are compile-static per decode program: requests
+            # overriding them take the single-flight path
             async with state.lock:
                 wav = await loop.run_in_executor(
                     state.pool, lambda: model.generate_with_pauses(str(text), voice))
@@ -125,14 +134,34 @@ def create_app(state: ServerState):
         if not str(text).strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
                                      content_type="application/json")
-        voice = state.resolve(body.get("voice"))
+        loop0 = asyncio.get_running_loop()
+        voice = await loop0.run_in_executor(state.pool, state.resolve,
+                                            body.get("voice"))
 
         resp = web.StreamResponse(
             headers={"Content-Type": "audio/pcm;rate=24000;encoding=signed-int;bits=16"})
         await resp.prepare(request)
 
+        import threading
+
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue(maxsize=10)
+        cancelled = threading.Event()  # set when the client goes away
+
+        def put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone — a dropped
+            connection must never wedge a pool worker on a full queue."""
+            fut = asyncio.run_coroutine_threadsafe(queue.put(item), loop)
+            while not cancelled.is_set():
+                try:
+                    fut.result(timeout=0.5)
+                    return True
+                except TimeoutError:
+                    continue
+                except Exception:  # loop closing / cancelled
+                    return False
+            fut.cancel()
+            return False
 
         def producer():
             try:
@@ -141,25 +170,30 @@ def create_app(state: ServerState):
                 else:
                     source = model.generate_stream_long(str(text), voice)
                 for chunk in source:
-                    fut = asyncio.run_coroutine_threadsafe(
-                        queue.put(audio_io.pcm_i16_le_bytes(chunk)), loop)
-                    fut.result()
-                asyncio.run_coroutine_threadsafe(queue.put(None), loop).result()
+                    if not put(audio_io.pcm_i16_le_bytes(chunk)):
+                        logger.info("stream client gone; aborting generation")
+                        return
+                put(None)
             except Exception as e:  # noqa: BLE001
                 logger.exception("stream producer failed")
-                asyncio.run_coroutine_threadsafe(queue.put(e), loop).result()
+                put(e)
 
         ctx = state.lock if state.batcher is None else _NullContext()
         async with ctx:
             task = loop.run_in_executor(state.pool, producer)
-            while True:
-                item = await queue.get()
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    break
-                await resp.write(item)
-            await task
+            try:
+                while True:
+                    item = await queue.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        break
+                    await resp.write(item)
+            finally:
+                cancelled.set()  # unblock the producer on any exit path
+                while not queue.empty():  # drain so pending puts resolve
+                    queue.get_nowait()
+                await task
         await resp.write_eof()
         return resp
 

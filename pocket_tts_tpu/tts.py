@@ -67,7 +67,9 @@ class TTSModel:
         self.is_quantized = False
         self.engine = Engine(cfg, params, batch_size=1)
         self.tokenizer = text_mod.load_tokenizer(None)
-        self._key = jax.random.PRNGKey(seed)
+        # mutable holder so with_params() clones share and ADVANCE one RNG
+        # stream (torch's process-global generator semantics in the reference)
+        self._rng = {"key": jax.random.PRNGKey(seed)}
 
     # -- loading -----------------------------------------------------------
 
@@ -87,7 +89,7 @@ class TTSModel:
     ) -> "TTSModel":
         cfg = load_variant(variant)
         plans = MimiPlans(cfg.mimi)
-        params, real = weights_mod.load_params(cfg, plans)
+        params, real = weights_mod.load_params(cfg, plans, variant=variant)
         gen = GenParams(temp=temp, lsd_decode_steps=lsd_decode_steps,
                         noise_clamp=noise_clamp, eos_threshold=eos_threshold)
         return cls(cfg, params, gen=gen, has_real_weights=real, seed=seed)
@@ -246,7 +248,7 @@ class TTSModel:
         frames_done = 0  # frames fetched & accounted
         eos_step: int | None = None
         total_samples = 0
-        self._key, key = jax.random.split(self._key)
+        self._rng["key"], key = jax.random.split(self._rng["key"])
         pending: list[tuple[int, object, object]] = []
         schedule = iter(self.engine.chunk_schedule(max_frames))
         issued = 0

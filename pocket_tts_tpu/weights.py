@@ -236,7 +236,8 @@ def random_params(cfg: Config, plans: MimiPlans, seed: int = 0) -> dict:
     return jax.jit(init)(jax.random.PRNGKey(seed))
 
 
-def load_params(cfg: Config, plans: MimiPlans, *, allow_random: bool = True) -> tuple[dict, bool]:
+def load_params(cfg: Config, plans: MimiPlans, *, allow_random: bool = True,
+                variant: str = "b6369a24") -> tuple[dict, bool]:
     """Load the combined checkpoint if reachable, else deterministic random init.
 
     Returns (params, is_real_weights).  Checkpoint search order: $POCKET_TTS_WEIGHTS,
@@ -246,7 +247,7 @@ def load_params(cfg: Config, plans: MimiPlans, *, allow_random: bool = True) -> 
     candidates: list[str | Path] = []
     if os.environ.get("POCKET_TTS_WEIGHTS"):
         candidates.append(os.environ["POCKET_TTS_WEIGHTS"])
-    candidates.append(Path.cwd() / "tts_b6369a24.safetensors")
+    candidates.append(Path.cwd() / f"tts_{variant}.safetensors")
     if cfg.weights_path:
         candidates.append(cfg.weights_path)
     if cfg.weights_path_without_voice_cloning:

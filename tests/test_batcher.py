@@ -3,6 +3,8 @@ concurrent requests, pauses, per-request params, segment-parallel reassembly."""
 
 import threading
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -88,3 +90,64 @@ def test_voice_state_respected(batcher, model):
 def test_empty_text(batcher):
     with pytest.raises(ValueError):
         batcher.generate("   ")
+
+
+def test_window_bucket_crossing():
+    """Regression: the batcher's attention window must cover the DISPATCHED
+    frontier (frames_done lags one chunk behind in the pipeline).  A voice
+    prompt pushes base_pos near the 256 window bucket so the generation
+    crosses it mid-segment; a stale window clamps KV writes onto the bucket
+    edge and corrupts all later audio."""
+    import dataclasses
+
+    from pocket_tts_tpu.config import RuntimeConfig
+
+    cfg = dataclasses.replace(
+        CFG, runtime=RuntimeConfig(
+            max_seq=512, mimi_ring=256, text_buckets=(16, 32, 64),
+            prompt_buckets=(256,), decode_chunks=(2, 4, 8),
+            encode_seconds_buckets=(1.0, 2.0), window_buckets=(256,),
+            compute_dtype="float32"))
+    plans = MimiPlans(cfg.mimi)
+    params = weights.random_params(cfg, plans, seed=3)
+    # eos_threshold=inf: random weights EOS immediately otherwise, and the
+    # crossing needs ~16+ generated frames
+    model = TTSModel(cfg, params, gen=GenParams(temp=0.0, eos_threshold=float("inf")),
+                     has_real_weights=False)
+    # 230-frame conditioning prompt -> base_pos ~= 244, right under the 256 bucket
+    rng = np.random.default_rng(11)
+    prompt = rng.normal(size=(1, 230, cfg.flow_lm.transformer.d_model)) * 0.05
+    vs = model.get_voice_state_from_prompt(prompt.astype(np.float32))
+    assert 200 < vs.length + 20 < 256
+
+    b = ContinuousBatcher(model, batch_size=2, chunk_frames=4)
+
+    # White-box invariant: every dispatch's window must cover the true device
+    # frontier (max pos in the state) + chunk.  The frontier is checked against
+    # the actual per-slot cursor, so a stale frames_done-based window fails
+    # deterministically regardless of how mild the audio-level damage is.
+    orig = b.engine.decode_frames
+    violations = []
+
+    def spy(state, key, n_frames, gen, **kw):
+        window = kw.get("window", 0)
+        if window:
+            pos = np.asarray(jax.device_get(state["pos"]))
+            if int(pos.max()) + n_frames > window:
+                violations.append((int(pos.max()), n_frames, window))
+        return orig(state, key, n_frames, gen, **kw)
+
+    b.engine.decode_frames = spy
+    b.start()
+    try:
+        text = "This sentence needs to run long enough to cross the boundary now."
+        single = model.generate_with_pauses(text, vs)
+        batched = b.generate(text, vs)
+        assert batched.shape == single.shape
+        assert not violations, violations
+        # audio-level sanity: batched lanes accumulate small batch-dependent
+        # f32 drift (exact equality only holds at B=1)
+        corr = np.corrcoef(batched, single)[0, 1]
+        assert corr > 0.98, corr
+    finally:
+        b.stop()

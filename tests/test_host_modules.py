@@ -131,6 +131,34 @@ class TestAudio:
         out = audio.normalize_peak(wav)
         assert abs(np.abs(out).max() - 0.99) < 1e-6
 
+    def test_float32_wav(self, tmp_path):
+        """IEEE-float WAV files must decode (stdlib wave rejects them)."""
+        import struct
+
+        sr = 24000
+        x = (np.sin(np.linspace(0, 40, 1000)) * 0.5).astype(np.float32)
+        data = x.tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32)
+               + b"data" + struct.pack("<I", len(data)))
+        p = tmp_path / "f32.wav"
+        p.write_bytes(hdr + data)
+        back, sr2 = audio.read_wav(p)
+        assert sr2 == sr
+        np.testing.assert_allclose(back[0], x, atol=1e-7)
+
+    def test_truncated_wav_tolerated(self, tmp_path):
+        """A WAV whose data section is shorter than the header claims decodes
+        the available samples (reference: audio.rs:36-50)."""
+        sr = 24000
+        wav = np.zeros(1000, np.float32)
+        p = tmp_path / "t.wav"
+        audio.write_wav(p, wav, sr)
+        raw = p.read_bytes()
+        p.write_bytes(raw[: len(raw) - 500])  # chop 250 samples
+        back, _ = audio.read_wav(p)
+        assert back.shape[-1] == 750
+
     def test_wav_header_parses(self):
         hdr = audio.wav_header(24000)
         assert hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
