@@ -74,10 +74,6 @@ void pcm_f32_to_i16(const float* in, int64_t n, int16_t* out) {
   }
 }
 
-void pcm_i16_to_f32(const int16_t* in, int64_t n, float* out) {
-  for (int64_t i = 0; i < n; ++i) out[i] = in[i] / 32768.0f;
-}
-
 // Peak normalization (audio.rs:187-194).
 void normalize_peak(float* data, int64_t n, float peak) {
   float m = 0.0f;
@@ -155,70 +151,6 @@ void wav_encode(const float* samples, int64_t n, int32_t sample_rate,
   std::memcpy(out + 36, "data", 4);
   w32(40, data_bytes);
   pcm_f32_to_i16(samples, n, reinterpret_cast<int16_t*>(out + 44));
-}
-
-// Parse header: returns 0 on success; fills sample_rate/channels/n_samples
-// (n_samples = per-channel frames actually present, truncation-tolerant) and
-// data_offset.
-int32_t wav_parse(const uint8_t* buf, int64_t len, int32_t* sample_rate,
-                  int32_t* channels, int32_t* bits, int64_t* n_frames,
-                  int64_t* data_offset) {
-  if (len < 12 || std::memcmp(buf, "RIFF", 4) || std::memcmp(buf + 8, "WAVE", 4))
-    return -1;
-  int64_t off = 12;
-  bool have_fmt = false;
-  while (off + 8 <= len) {
-    char id[5] = {0};
-    std::memcpy(id, buf + off, 4);
-    uint32_t sz;
-    std::memcpy(&sz, buf + off + 4, 4);
-    if (!std::strncmp(id, "fmt ", 4) && off + 8 + 16 <= len) {
-      uint16_t fmt, ch, bps;
-      uint32_t sr;
-      std::memcpy(&fmt, buf + off + 8, 2);
-      std::memcpy(&ch, buf + off + 10, 2);
-      std::memcpy(&sr, buf + off + 12, 4);
-      std::memcpy(&bps, buf + off + 22, 2);
-      *sample_rate = static_cast<int32_t>(sr);
-      *channels = ch;
-      *bits = bps;
-      have_fmt = true;
-    } else if (!std::strncmp(id, "data", 4) && have_fmt) {
-      const int64_t avail = std::min<int64_t>(sz, len - (off + 8));
-      const int bytes_per = (*bits / 8) * (*channels);
-      *n_frames = bytes_per > 0 ? avail / bytes_per : 0;
-      *data_offset = off + 8;
-      return 0;
-    }
-    off += 8 + sz + (sz & 1);
-  }
-  return -2;
-}
-
-// Decode 16/24/32-bit PCM or 32-bit float data to f32 (interleaved).
-int32_t wav_decode_samples(const uint8_t* data, int64_t n_values, int32_t bits,
-                           int32_t is_float, float* out) {
-  if (bits == 16) {
-    const int16_t* p = reinterpret_cast<const int16_t*>(data);
-    for (int64_t i = 0; i < n_values; ++i) out[i] = p[i] / 32768.0f;
-  } else if (bits == 32 && is_float) {
-    std::memcpy(out, data, sizeof(float) * n_values);
-  } else if (bits == 32) {
-    const int32_t* p = reinterpret_cast<const int32_t*>(data);
-    for (int64_t i = 0; i < n_values; ++i)
-      out[i] = static_cast<float>(p[i] / 2147483648.0);
-  } else if (bits == 24) {
-    for (int64_t i = 0; i < n_values; ++i) {
-      int32_t v = data[3 * i] | (data[3 * i + 1] << 8) | (data[3 * i + 2] << 16);
-      if (v >= (1 << 23)) v -= (1 << 24);
-      out[i] = static_cast<float>(v) / 8388608.0f;
-    }
-  } else if (bits == 8) {
-    for (int64_t i = 0; i < n_values; ++i) out[i] = (data[i] - 128) / 128.0f;
-  } else {
-    return -1;
-  }
-  return 0;
 }
 
 }  // extern "C"

@@ -91,6 +91,10 @@ def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int) -> None:
 
 
 def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    from pocket_tts_tpu import native
+
+    if native.available():
+        return native.wav_bytes(np.asarray(audio, np.float32), sample_rate)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:
         f.setnchannels(1)

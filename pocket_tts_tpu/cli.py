@@ -41,20 +41,6 @@ def _load_model(args):
     return model
 
 
-def _stream(model, text, voice, frames_after_eos):
-    """Pause-aware stream honoring an explicit frames-after-eos override."""
-    from pocket_tts_tpu import pause as pause_mod
-    import numpy as np
-
-    for seg in pause_mod.segment_text(text):
-        if seg.kind == "pause":
-            n = pause_mod.silence_samples(seg.duration_ms, model.sample_rate)
-            yield np.zeros(n, np.float32)
-        else:
-            yield from model.generate_stream(seg.text, None if voice is None else voice,
-                                             frames_after_eos)
-
-
 def cmd_generate(args) -> int:
     from pocket_tts_tpu import audio as audio_io
     from pocket_tts_tpu.server import voices as voices_mod
@@ -70,7 +56,7 @@ def cmd_generate(args) -> int:
 
     fae = getattr(args, "frames_after_eos", None)
     if args.stream:
-        for chunk in _stream(model, args.text, voice, fae):
+        for chunk in model.generate_stream_long(args.text, voice, fae):
             sys.stdout.buffer.write(audio_io.pcm_i16_le_bytes(chunk))
             sys.stdout.buffer.flush()
         return 0
@@ -79,7 +65,7 @@ def cmd_generate(args) -> int:
     t0 = time.time()
     chunks = []
     done_frames = 0
-    for chunk in _stream(model, args.text, voice, fae):
+    for chunk in model.generate_stream_long(args.text, voice, fae):
         chunks.append(chunk)
         done_frames += len(chunk) // model.frame_size
         if not args.quiet:

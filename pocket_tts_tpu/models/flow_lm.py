@@ -26,18 +26,24 @@ from pocket_tts_tpu.ops.rope import rope_table
 def sample_noise(
     key: jax.Array,
     shape: tuple[int, ...],
-    temp: float,
-    noise_clamp: float | None,
+    temp,
+    noise_clamp,
+    clamped: bool = False,
 ) -> jnp.ndarray:
-    """Gaussian noise with std=sqrt(temp); optionally truncated to ±noise_clamp
-    (absolute units, matching torch trunc_normal_(std=std, a=-c, b=c);
-    reference: crates/pocket-tts/src/models/flow_lm.rs:39-65)."""
-    std = temp**0.5
-    if noise_clamp is None:
+    """Gaussian noise with std=sqrt(temp); when ``clamped``, truncated to
+    ±noise_clamp (absolute units, matching torch trunc_normal_(std=std, a=-c,
+    b=c); reference: crates/pocket-tts/src/models/flow_lm.rs:39-65).
+
+    ``temp`` may be a per-batch [B] vector (continuous batching); ``clamped``
+    is static because truncation changes the compiled program.
+    """
+    temp = jnp.asarray(temp, jnp.float32)
+    std = jnp.sqrt(temp)
+    if temp.ndim == 1:
+        std = std[:, None]
+    if not clamped:
         return jax.random.normal(key, shape, jnp.float32) * std
-    if std == 0.0:
-        return jnp.zeros(shape, jnp.float32)
-    bound = noise_clamp / std
+    bound = jnp.asarray(noise_clamp, jnp.float32) / jnp.maximum(std, 1e-12)
     return jax.random.truncated_normal(key, -bound, bound, shape, jnp.float32) * std
 
 
@@ -68,7 +74,8 @@ def prefill(
     cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
     _, k_cache, v_cache = transformer.cache_forward(
-        params["tf"], tcfg.num_heads, k_cache, v_cache, pos, embeddings, cos, sin
+        params["tf"], tcfg.num_heads, k_cache, v_cache, pos, embeddings, cos, sin,
+        t_valid=t_valid,
     )
     return k_cache, v_cache, pos + t_valid.astype(pos.dtype)
 

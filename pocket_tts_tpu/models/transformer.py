@@ -25,6 +25,7 @@ from pocket_tts_tpu.ops.attention import (
     banded_attention,
     cache_write,
     causal_cache_attention,
+    prefill_write,
     ring_write,
     windowed_ring_attention,
 )
@@ -103,6 +104,7 @@ def cache_forward(
     x: jnp.ndarray,  # [B, T, E]
     cos: jnp.ndarray,
     sin: jnp.ndarray,
+    t_valid: jnp.ndarray | None = None,  # per-slot valid widths (prefill only)
 ):
     """Dense-cache causal transformer step; returns (y, k_cache, v_cache).
 
@@ -113,13 +115,20 @@ def cache_forward(
       scanning a stacked cache as xs costs ~0.12 ms/frame of slice/restack
       (profiled); separate carries update in place with plain DUS.
     """
+    if t_valid is not None:
+        def write(cache, new):
+            return prefill_write(cache, new, pos, t_valid)
+    else:
+        def write(cache, new):
+            return cache_write(cache, new, pos)
+
     if isinstance(k_cache, (tuple, list)):
         kcs, vcs = [], []
         for i in range(len(k_cache)):
             p_layer = jax.tree.map(lambda a: a[i], params)
             q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
-            kc = cache_write(k_cache[i], k, pos)
-            vc = cache_write(v_cache[i], v, pos)
+            kc = write(k_cache[i], k)
+            vc = write(v_cache[i], v)
             attn = causal_cache_attention(q, kc, vc, pos)
             x = _post_attn(p_layer, x, attn)
             kcs.append(kc)
@@ -129,8 +138,8 @@ def cache_forward(
     def layer(x, xs):
         p_layer, kc, vc = xs
         q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
-        kc = cache_write(kc, k, pos)
-        vc = cache_write(vc, v, pos)
+        kc = write(kc, k)
+        vc = write(vc, v)
         attn = causal_cache_attention(q, kc, vc, pos)
         return _post_attn(p_layer, x, attn), (kc, vc)
 

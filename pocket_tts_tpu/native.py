@@ -57,7 +57,6 @@ def _load() -> ctypes.CDLL | None:
                                  np.ctypeslib.ndpointer(np.int16),
                                  np.ctypeslib.ndpointer(np.uint8))
     lib.pcm_f32_to_i16.argtypes = [f32p, i64, i16p]
-    lib.pcm_i16_to_f32.argtypes = [i16p, i64, f32p]
     lib.normalize_peak.argtypes = [f32p, i64, ctypes.c_float]
     lib.resample_poly_out_len.argtypes = [i64, i64, i64]
     lib.resample_poly_out_len.restype = i64

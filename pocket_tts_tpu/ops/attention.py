@@ -49,6 +49,26 @@ def cache_write(cache: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray) -> jnp
     return jax.vmap(one)(cache, new.astype(cache.dtype), start)
 
 
+def prefill_write(cache: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray,
+                  t_valid: jnp.ndarray) -> jnp.ndarray:
+    """Prefill write of ``new`` [B,T,H,D] at per-batch ``start`` with only the
+    first ``t_valid[b]`` positions written; the rest are DROPPED (out-of-bounds
+    scatter indices).  Decode writes use cache_write (always fully valid); the
+    batcher's admission prefill must not write ANY garbage — a busy slot with
+    pos > S - T would otherwise have its bucket-wide garbage block clamped
+    BACKWARD over live KV entries (review finding)."""
+    b, t = new.shape[:2]
+    s_cap = cache.shape[1]
+    offs = jnp.arange(t, dtype=jnp.int32)[None, :]
+    idx = start[:, None].astype(jnp.int32) + offs
+    idx = jnp.where(offs < t_valid[:, None].astype(jnp.int32), idx, s_cap)
+
+    def one(c, n, i):
+        return c.at[i].set(n, mode="drop")
+
+    return jax.vmap(one)(cache, new.astype(cache.dtype), idx)
+
+
 def causal_cache_attention(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
@@ -86,11 +106,22 @@ def ring_positions(cap: int, pos_new: jnp.ndarray) -> jnp.ndarray:
 
 
 def ring_write(cache: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray, cap: int) -> jnp.ndarray:
-    """Write ``new`` [B,T,H,D] at ring offset ``pos % cap``.  Requires
-    ``cap % T == 0`` so the write never wraps (enforced by config: ring=272, T=16)."""
+    """Write ``new`` [B,T,H,D] at ring offsets ``(pos + i) % cap``.
+
+    Scatter with per-position modulo indices (the oracle's formulation,
+    mimi_transformer.py:36-45): mixed decode-chunk widths leave the cumulative
+    cursor unaligned to the current width, so a write CAN straddle the ring
+    end — a dynamic_update_slice there would silently clamp instead of
+    wrapping, corrupting the cache (found by review; regression-tested in
+    test_mimi_parity.py)."""
     t = new.shape[1]
-    assert cap % t == 0 or t == cap, (cap, t)
-    return cache_write(cache, new, (pos % cap).astype(jnp.int32))
+    idx = (pos[:, None].astype(jnp.int32)
+           + jnp.arange(t, dtype=jnp.int32)[None, :]) % cap  # [B, T]
+
+    def one(c, n, i):
+        return c.at[i].set(n)
+
+    return jax.vmap(one)(cache, new.astype(cache.dtype), idx)
 
 
 def windowed_ring_attention(

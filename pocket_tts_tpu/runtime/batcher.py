@@ -207,6 +207,9 @@ class ContinuousBatcher:
         with self._lock:
             self._active.add(req)
             req.pump()
+            if req.finished:  # e.g. pause-only request: done synchronously
+                self._active.discard(req)
+                return req.out
         # enqueue only after registration so a crash can always fail us open
         for seg in req.segments:
             if seg.kind == "text":

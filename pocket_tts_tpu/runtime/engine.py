@@ -289,13 +289,8 @@ class Engine:
         def body(carry, i):
             st, key = carry
             key, sub = jax.random.split(key)
-            std = jnp.sqrt(temp)[:, None]  # [B, 1] — per-slot temperature
-            if clamped:
-                bound = noise_clamp / jnp.maximum(std, 1e-12)
-                noise = jax.random.truncated_normal(
-                    sub, -bound, bound, (b, self.ldim), jnp.float32) * std
-            else:
-                noise = jax.random.normal(sub, (b, self.ldim), jnp.float32) * std
+            noise = flow_lm.sample_noise(sub, (b, self.ldim), temp, noise_clamp,
+                                         clamped=clamped)
             latent, eos_logit, kc, vc, pos = flow_lm.step(
                 params["flow_lm"], cfg, st["kc"], st["vc"], st["pos"], st["latent"],
                 noise, table, lsd_steps, 0.0, use_pallas=self._use_pallas,

@@ -32,14 +32,6 @@ from pocket_tts_tpu.tts import TTSModel
 logger = logging.getLogger(__name__)
 
 
-class _NullContext:
-    async def __aenter__(self):
-        return self
-
-    async def __aexit__(self, *a):
-        return False
-
-
 class ServerState:
     def __init__(self, model: TTSModel, *, voice_cache_capacity: int = 8,
                  default_voice: str = voices_mod.DEFAULT_VOICE,
@@ -163,11 +155,18 @@ def create_app(state: ServerState):
             fut.cancel()
             return False
 
+        base = state.model
+        batchable = (state.batcher is not None
+                     and model.gen.lsd_decode_steps == base.gen.lsd_decode_steps
+                     and model.gen.noise_clamp == base.gen.noise_clamp)
+
         def producer():
             try:
-                if state.batcher is not None:
+                if batchable:
                     source = state.batcher.stream(str(text), voice, model.gen)
                 else:
+                    # compile-static overrides (lsd/noise_clamp) take the
+                    # single-flight path, same as /generate
                     source = model.generate_stream_long(str(text), voice)
                 for chunk in source:
                     if not put(audio_io.pcm_i16_le_bytes(chunk)):
@@ -178,7 +177,9 @@ def create_app(state: ServerState):
                 logger.exception("stream producer failed")
                 put(e)
 
-        ctx = state.lock if state.batcher is None else _NullContext()
+        import contextlib
+
+        ctx = contextlib.nullcontext() if batchable else state.lock
         async with ctx:
             task = loop.run_in_executor(state.pool, producer)
             try:

@@ -212,7 +212,8 @@ class TTSModel:
         chunks = list(self.generate_stream_long(text, voice_state))
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
-    def generate_stream_long(self, text: str, voice_state: VoiceState | None = None
+    def generate_stream_long(self, text: str, voice_state: VoiceState | None = None,
+                             frames_after_eos: int | None = None
                              ) -> Iterator[np.ndarray]:
         """Pause-aware streaming: interleaves synthesized text segments with
         silence for ``[pause:Xms]`` / natural pauses (tts_model.rs:1074-1127)."""
@@ -223,7 +224,8 @@ class TTSModel:
                 n = pause_mod.silence_samples(seg.duration_ms, self.sample_rate)
                 yield np.zeros(n, np.float32)
             else:
-                yield from self.generate_stream(seg.text, voice_state)
+                yield from self.generate_stream(seg.text, voice_state,
+                                                frames_after_eos)
 
     # -- internals -------------------------------------------------------------
 

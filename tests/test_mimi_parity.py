@@ -171,3 +171,49 @@ class TestMimi:
         all_lat = jnp.asarray(torch.cat(latents, -1).numpy())
         got_batch = mimi.decode_batch(p, plans, all_lat, block=64)
         assert maxdiff(got_batch, got) < 2e-4
+
+
+def test_decode_mixed_chunk_ring_wrap():
+    """Regression: grouped decode with MIXED chunk widths leaves the ring
+    cursor unaligned, so writes can straddle the ring end — they must wrap,
+    not clamp.  Framewise decode is the ground truth; divergence previously
+    began exactly at the first straddling chunk."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    # layer_scale=1.0: at the default 0.01 the attention update is attenuated
+    # ~100x and ring corruption hides below test tolerance
+    cfg = dataclasses.replace(
+        SMALL_CFG, transformer=dataclasses.replace(SMALL_CFG.transformer,
+                                                   layer_scale=1.0))
+    m = _build_oracle_mimi(cfg)
+    plans = mimi.MimiPlans(cfg)
+    sd = {f"mimi.{k}": v for k, v in oracle.torch_state_dict_to_numpy(m).items()}
+    p = weights.convert_mimi(sd, plans)
+
+    torch.manual_seed(77)
+    n_frames = 40  # 640 steps @200 Hz: several ring wraps
+    latents = [torch.randn(1, cfg.quantizer.dimension, 1)
+               for _ in range(n_frames)]
+
+    ring = 384  # >= 128 + 250 - 1 for the largest chunk; cumulative step
+    # counts (32, 96, 224, 352, ...) are unaligned, so chunk 5 straddles
+    st = mimi.init_decode_state(plans, 1, ring=ring)
+    per_frame = []
+    for lat in latents:
+        y, st = mimi.decode_step(p, plans, st, jnp.asarray(lat.numpy()))
+        per_frame.append(np.asarray(y))
+    ref = np.concatenate(per_frame, -1)
+
+    st = mimi.init_decode_state(plans, 1, ring=ring)
+    got = []
+    i = 0
+    for k in (2, 4, 8, 8, 8, 8, 2):  # mixed widths -> unaligned cursor
+        lat = jnp.asarray(torch.cat(latents[i:i + k], -1).numpy())
+        y, st = mimi.decode_step(p, plans, st, lat)
+        got.append(np.asarray(y))
+        i += k
+    got = np.concatenate(got, -1)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 2e-4

@@ -197,3 +197,45 @@ class TestMimiTransformer:
         a = transformer.batch_forward(p, 4, cfg.context, x, cos, sin, block=64)
         b = transformer.batch_forward(p, 4, cfg.context, x, cos, sin, block=16)
         assert maxdiff(a, b) < 1e-5
+
+
+class TestRingStraddle:
+    """Mixed-width ring writes whose cumulative cursor is unaligned to the
+    current width must wrap at the ring end (review finding: a DUS there
+    silently clamps).  Oracle = the reference's scatter-based ring cache."""
+
+    def test_mixed_width_ring_matches_oracle(self):
+        from pocket_tts.modules.mimi_transformer import StreamingTransformer
+        from pocket_tts.modules.stateful_module import increment_steps, init_states
+
+        torch.manual_seed(90)
+        m = StreamingTransformer(d_model=64, num_heads=4, num_layers=2,
+                                 layer_scale=1.0, dim_feedforward=128,
+                                 context=20, kind="mimi")
+        oracle.seed_torch_module(m, 91)
+        p = _convert_tf(m, 2, layer_scale=True)
+
+        cap = 24  # writes of width 2/4/8 with cursor 0,2,6,14 -> 14+8 straddles
+        widths = [2, 4, 8, 8, 4, 2, 8, 8]
+        torch.manual_seed(92)
+        chunks = [torch.randn(1, w, 64) for w in widths]
+
+        st = oracle_states(m, batch=1, seq=cap)  # oracle ring capacity == cap
+        refs = []
+        for c in chunks:
+            refs.append(m(c, st).detach().numpy())
+            increment_steps(m, st, c.shape[1])
+
+        kc, vc = transformer.init_cache(2, 1, cap, 4, 16)
+        pos = jnp.zeros((1,), jnp.int32)
+        for c, ref in zip(chunks, refs):
+            t = c.shape[1]
+            positions = pos[:, None] + jnp.arange(t)[None, :]
+            from pocket_tts_tpu.ops.rope import rope_table
+
+            cos, sin = rope_table(positions, 16, 10000.0)
+            cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+            y, kc, vc = transformer.ring_forward(
+                p, 4, 20, kc, vc, pos, jnp.asarray(c.numpy()), cos, sin)
+            assert maxdiff(y, ref) < 1e-4, f"pos={int(pos[0])} width={t}"
+            pos = pos + t
