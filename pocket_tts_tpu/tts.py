@@ -294,6 +294,12 @@ class TTSModel:
             elif k is None and not pending:
                 break
         if eos_step is None:
+            import os
+
+            if (os.environ.get("POCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1"
+                    or os.environ.get("KPOCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1"):
+                raise RuntimeError(
+                    "Generation reached maximum length without EOS!")
             logger.warning(
                 "Maximum generation length reached without EOS, "
                 "this very often indicates an error.")
