@@ -192,3 +192,32 @@ class TestRingMask:
             got = attention.ring_positions(cap, pos_new)
             ref = res.positions.numpy()
             assert np.array_equal(np.asarray(got)[0], ref[0]), step
+
+
+class TestPrefillWrite:
+    """Drop-mode prefill writes (review finding: bucket-wide garbage from
+    batched admission must never clamp backward over a busy slot's live KV)."""
+
+    def test_valid_prefix_written_rest_dropped(self):
+        from pocket_tts_tpu.ops.attention import prefill_write
+
+        cache = jnp.full((2, 8, 1, 2), -1.0)
+        new = jnp.ones((2, 4, 1, 2)) * jnp.arange(1, 5)[None, :, None, None]
+        start = jnp.asarray([2, 6], jnp.int32)
+        t_valid = jnp.asarray([3, 0], jnp.int32)
+        out = np.asarray(prefill_write(cache, new, start, t_valid))[:, :, 0, 0]
+        # slot 0: positions 2..4 written with 1,2,3; rest untouched
+        assert list(out[0]) == [-1, -1, 1, 2, 3, -1, -1, -1]
+        # slot 1 (t_valid 0, start near the end): NOTHING written — the old
+        # DUS would have clamped the 4-wide block back over positions 4..7
+        assert list(out[1]) == [-1] * 8
+
+    def test_write_near_capacity_no_backward_clamp(self):
+        from pocket_tts_tpu.ops.attention import prefill_write
+
+        cache = jnp.zeros((1, 8, 1, 1))
+        new = jnp.ones((1, 6, 1, 1))
+        # start 6 with 2 valid: only 6,7 written; positions 8..11 dropped
+        out = np.asarray(prefill_write(cache, new, jnp.asarray([6]),
+                                       jnp.asarray([2])))[0, :, 0, 0]
+        assert list(out) == [0, 0, 0, 0, 0, 0, 1, 1]
