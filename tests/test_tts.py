@@ -103,3 +103,26 @@ def test_eos_truncation_rule(model):
     max_frames = text_mod.max_generation_frames(prepared)
     wav = model.generate(text)
     assert wav.size <= max_frames * model.frame_size
+
+
+def test_lsd_steps_two_e2e():
+    """lsd_decode_steps=2 is a distinct compiled program (static loop count);
+    drive it through the public API."""
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    m2 = TTSModel(CFG, params, gen=GenParams(temp=0.0, lsd_decode_steps=2),
+                  has_real_weights=False)
+    a = m2.generate("Two step flow decode.")
+    b = m2.generate("Two step flow decode.")
+    assert a.size > 0 and np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_noise_clamp_e2e():
+    """noise_clamp switches to the truncated-normal program."""
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    m = TTSModel(CFG, params, gen=GenParams(temp=0.7, noise_clamp=0.5),
+                 has_real_weights=False)
+    a = m.generate("Clamped noise sampling.")
+    assert a.size > 0 and np.isfinite(a).all()
