@@ -1,0 +1,126 @@
+"""Checkpoint loading end-to-end: a combined safetensors written from the
+oracle's state_dict must load through the real file path (env var -> safetensors
+-> key remap -> param pytree) and drive generation.  Also covers the split
+flow-lm/mimi key remaps and config YAML loading."""
+
+import numpy as np
+import pytest
+
+from tests import oracle
+
+if not oracle.install_shims():
+    pytest.skip("oracle unavailable", allow_module_level=True)
+
+import torch  # noqa: E402
+
+from pocket_tts_tpu import weights  # noqa: E402
+from pocket_tts_tpu.models.mimi import MimiPlans  # noqa: E402
+
+
+def test_variant_yaml_loads_expected_dims():
+    """The shipped b6369a24 YAML must parse to the published architecture
+    (reference: config.rs:126-168 test expectations)."""
+    from pocket_tts_tpu.config import load_variant
+
+    cfg = load_variant("b6369a24")
+    t = cfg.flow_lm.transformer
+    assert (t.d_model, t.num_heads, t.num_layers, t.dim_feedforward) == \
+        (1024, 16, 6, 4096)
+    assert cfg.flow_lm.flow.dim == 512 and cfg.flow_lm.flow.depth == 6
+    assert cfg.flow_lm.lookup_table.n_bins == 4000
+    assert cfg.mimi.sample_rate == 24000 and cfg.mimi.frame_rate == 12.5
+    assert cfg.mimi.frame_size == 1920
+    assert cfg.mimi.seanet.ratios == (6, 5, 4)
+    assert cfg.mimi.resample_stride == 16
+    assert cfg.mimi.transformer.context == 250
+    assert cfg.mimi.quantizer.dimension == 32
+
+
+def _combined_state_dict():
+    """Build an oracle-derived combined checkpoint (full key surface of
+    tts_<variant>.safetensors) at the small test dims."""
+    from tests.test_flow_lm_parity import _build_oracle
+    from tests.test_mimi_parity import SMALL_CFG, _build_oracle_mimi
+    import dataclasses
+
+    from tests.test_flow_lm_parity import CFG as FLOW_CFG
+
+    mimi_cfg = dataclasses.replace(
+        SMALL_CFG, quantizer=dataclasses.replace(SMALL_CFG.quantizer, dimension=16))
+    cfg = dataclasses.replace(FLOW_CFG, mimi=mimi_cfg)
+    flow_oracle, _ = _build_oracle()
+    mimi_oracle = _build_oracle_mimi(cfg.mimi)
+    sd = {}
+    for k, v in flow_oracle.state_dict().items():
+        sd[f"flow_lm.{k}"] = v.detach().numpy()
+    for k, v in mimi_oracle.state_dict().items():
+        sd[f"mimi.{k}"] = v.detach().numpy()
+    return cfg, sd
+
+
+def test_combined_checkpoint_file_roundtrip(tmp_path, monkeypatch):
+    """POCKET_TTS_WEIGHTS -> load_safetensors -> convert -> generate."""
+    from safetensors.numpy import save_file
+
+    from pocket_tts_tpu.runtime.engine import GenParams
+    from pocket_tts_tpu.tts import TTSModel
+
+    cfg, sd = _combined_state_dict()
+    path = tmp_path / "tts_test.safetensors"
+    save_file(sd, str(path))
+
+    monkeypatch.setenv("POCKET_TTS_WEIGHTS", str(path))
+    plans = MimiPlans(cfg.mimi)
+    params, real = weights.load_params(cfg, plans)
+    assert real, "checkpoint file must be recognized as real weights"
+    assert params["flow_lm"]["tf"]["in_proj"].shape[0] == 2  # stacked layers
+
+    model = TTSModel(cfg, params, gen=GenParams(temp=0.0), has_real_weights=real)
+    wav = model.generate("Loading from a checkpoint file.")
+    assert wav.size > 0 and np.isfinite(wav).all()
+
+
+def test_bf16_checkpoint_upcasts(tmp_path, monkeypatch):
+    """The released checkpoint stores bf16; loading must upcast to f32
+    (reference: tts_model.rs:190)."""
+    from safetensors.numpy import save_file
+    import jax.numpy as jnp
+
+    cfg, sd = _combined_state_dict()
+    import ml_dtypes
+
+    sd16 = {k: v.astype(ml_dtypes.bfloat16) for k, v in sd.items()}
+    path = tmp_path / "tts_bf16.safetensors"
+    save_file(sd16, str(path))
+    loaded = weights.load_safetensors(path)
+    assert all(v.dtype == np.float32 for v in loaded.values())
+
+
+def test_split_checkpoint_remaps():
+    """Split-file key remaps (python-reference weights_loading.py:6-35)."""
+    sd_flow = {
+        "transformer.layers.0.self_attn.in_proj.weight": np.zeros((6, 2)),
+        "flow.w_s_t.something": np.zeros(2),  # skipped
+        "condition_provider.conditioners.transcript_in_segment.learnt_padding":
+            np.zeros(2),  # skipped
+        "condition_provider.conditioners.transcript_in_segment.embed.weight":
+            np.zeros((5, 2)),
+        "condition_provider.conditioners.speaker_wavs.output_proj.weight":
+            np.zeros((4, 2)),
+    }
+    out = weights.remap_split_flow_lm(sd_flow)
+    assert "flow_lm.transformer.layers.0.self_attn.in_proj.weight" in out
+    assert "flow_lm.conditioner.embed.weight" in out
+    assert "flow_lm.speaker_proj_weight" in out
+    assert not any("w_s_t" in k or "learnt_padding" in k for k in out)
+
+    sd_mimi = {
+        "model.encoder.model.0.conv.weight": np.zeros((2, 1, 3)),
+        "model.quantizer.vq.codebook": np.zeros(2),  # skipped
+        "model.quantizer.logvar_proj.weight": np.zeros(2),  # skipped
+        "model.quantizer.output_proj.weight": np.zeros((2, 1, 1)),
+    }
+    out = weights.remap_split_mimi(sd_mimi)
+    assert "mimi.encoder.model.0.conv.weight" in out
+    assert "mimi.quantizer.output_proj.weight" in out
+    assert not any("vq" in k or "logvar" in k for k in out)
