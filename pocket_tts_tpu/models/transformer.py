@@ -50,7 +50,8 @@ def init_params(
         return jax.random.uniform(k, (n_layers, *shape), dtype, -bound, bound)
 
     p = {
-        "in_proj": lin(ks[0], (3 * d_model, d_model)),
+        # [L, 3, E, E]: explicit qkv axis; dim 2 is head-major (tp-shardable)
+        "in_proj": lin(ks[0], (3, d_model, d_model)),
         "out_proj": lin(ks[1], (d_model, d_model)),
         "ff1": lin(ks[2], (d_ff, d_model)),
         "ff2": lin(ks[3], (d_model, d_ff)),
@@ -69,8 +70,8 @@ def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
     b, t, e = x.shape
     d = e // n_heads
     xn = layer_norm(x, p_layer["norm1_w"], p_layer["norm1_b"], eps=1e-5)
-    w = mat(p_layer["in_proj"])
-    proj = jnp.einsum("bte,pe->btp", xn.astype(w.dtype), w)
+    w = mat(p_layer["in_proj"])  # [3, E, E]
+    proj = jnp.einsum("bte,kpe->btkp", xn.astype(w.dtype), w)
     proj = proj.reshape(b, t, 3, n_heads, d)
     q, k, v = proj[:, :, 0], proj[:, :, 1], proj[:, :, 2]
     q = apply_rope(q, cos, sin)

@@ -118,8 +118,9 @@ def quantize_tree(params: dict, *, stacked_names: tuple[str, ...] = ()) -> dict:
         if not should_quantize(name, leaf):
             return leaf
         last = name.rsplit("/", 1)[-1]
-        # stacked transformer / flow-block weights carry a leading layer axis
-        axes = 2 if last in stacked_names else 1
+        # stacked transformer / flow-block weights carry leading layer (and,
+        # for in_proj, qkv) axes: per-output-channel = all dims but the last
+        axes = leaf.ndim - 1 if last in stacked_names else 1
         return quantize_array(leaf, channel_axes=axes)
 
     return jax.tree_util.tree_map_with_path(visit, params)

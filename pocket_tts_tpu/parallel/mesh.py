@@ -48,20 +48,31 @@ def _path_name(path) -> str:
 
 
 def param_sharding_rules(path: tuple, leaf) -> P:
-    """PartitionSpec per parameter leaf (path = key path entries)."""
+    """PartitionSpec per parameter leaf (path = key path entries).
+
+    Megatron pattern per transformer layer, two all-reduces total:
+      in_proj [L, 3, E, E] column-parallel on dim 2 (head-major: E = H*D with
+      heads leading, so contiguous tp blocks are whole heads — matches the
+      head-sharded KV caches in :func:`state_sharding_rules`);
+      out_proj [L, E, E] row-parallel on the contraction dim -> psum;
+      ff1 [L, F, E] column-parallel, ff2 [L, E, F] row-parallel -> psum.
+    """
     name = _path_name(path)
-    # Megatron FFN split: ff1 [L, F, E] column-parallel, ff2 [L, E, F] row-parallel.
+    if name.endswith("in_proj"):
+        return P(None, None, "tp", None)
+    if name.endswith("out_proj"):
+        return P(None, None, "tp")
     if name.endswith("ff1"):
         return P(None, "tp", None)
     if name.endswith("ff2"):
         return P(None, None, "tp")
-    # Everything else (attention, norms, convs, embeddings) is small: replicate.
+    # Everything else (norms, convs, embeddings, heads) is small: replicate.
     return P()
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
     def put(path, leaf):
-        spec = param_sharding_rules(path, leaf)
+        spec = _fit_spec(param_sharding_rules(path, leaf), leaf.shape, mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)

@@ -74,8 +74,14 @@ def _stack(sd: dict, prefix: str, n_layers: int, suffix: str) -> jnp.ndarray:
 
 
 def convert_transformer(sd: dict, prefix: str, n_layers: int, layer_scale: bool) -> dict:
+    # in_proj [L, 3E, E] -> [L, 3, E, E] (pure view: torch rows are qkv-major).
+    # The explicit qkv axis makes dim 2 head-major (E = H*D, heads leading), so
+    # tensor-parallel sharding over heads is a plain dim-2 partition
+    # (parallel/mesh.py) instead of a strided re-layout.
+    in_proj = _stack(sd, prefix, n_layers, "self_attn.in_proj.weight")
+    L, three_e, e = in_proj.shape
     p = {
-        "in_proj": _stack(sd, prefix, n_layers, "self_attn.in_proj.weight"),
+        "in_proj": in_proj.reshape(L, 3, three_e // 3, e),
         "out_proj": _stack(sd, prefix, n_layers, "self_attn.out_proj.weight"),
         "norm1_w": _stack(sd, prefix, n_layers, "norm1.weight"),
         "norm1_b": _stack(sd, prefix, n_layers, "norm1.bias"),

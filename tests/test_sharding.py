@@ -32,4 +32,52 @@ def test_param_sharding_rules():
 
     assert param_sharding_rules(("flow_lm", "tf", "ff1"), None) == P(None, "tp", None)
     assert param_sharding_rules(("flow_lm", "tf", "ff2"), None) == P(None, None, "tp")
+    assert param_sharding_rules(("flow_lm", "tf", "in_proj"), None) == \
+        P(None, None, "tp", None)
+    assert param_sharding_rules(("flow_lm", "tf", "out_proj"), None) == \
+        P(None, None, "tp")
     assert param_sharding_rules(("flow_lm", "tf", "norm1_w"), None) == P()
+
+
+def _run_generation(cfg, mesh=None, batch=4):
+    """Prefill + one decode chunk; returns (audio int16 [B, T], latent [B, D])."""
+    import __graft_entry__ as ge
+    from pocket_tts_tpu.runtime.engine import Engine, GenParams
+
+    engine = Engine(cfg, ge._build(cfg)[1], batch_size=batch, mesh=mesh)
+    tokens = np.tile(np.arange(1, 7, dtype=np.int32)[None], (batch, 1))
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        state = engine.new_state(batch)
+        if mesh is not None:
+            from pocket_tts_tpu.parallel.mesh import shard_params, shard_state
+
+            engine.params = shard_params(engine.params, mesh)
+            state = shard_state(state, mesh)
+        st = engine.prefill_tokens(state, tokens, 6)
+        st, _, audio, _ = engine.decode_frames(st, key, 2, GenParams(temp=0.5))
+        return jax.device_get((audio, st["latent"]))
+
+    if mesh is None:
+        return run()
+    with mesh:
+        return run()
+
+
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_sharded_equals_single_device(tp):
+    """A wrong-but-finite collective layout must not pass: sharded generation
+    (dp x tp over 8 CPU devices) must numerically match single-device."""
+    import __graft_entry__ as ge
+    from pocket_tts_tpu.parallel.mesh import make_mesh
+
+    cfg = ge.tiny_config(heads=8)
+    ref_audio, ref_latent = _run_generation(cfg, mesh=None)
+    mesh = make_mesh(8, tp=tp)
+    sh_audio, sh_latent = _run_generation(cfg, mesh=mesh)
+    # audio ships as int16 PCM; collective reduction reordering may move a
+    # rounded sample by 1 LSB
+    assert np.abs(sh_audio.astype(np.int32)
+                  - ref_audio.astype(np.int32)).max() <= 1
+    np.testing.assert_allclose(sh_latent, ref_latent, atol=1e-4, rtol=1e-4)
