@@ -84,15 +84,19 @@ def main():
 
         from pocket_tts_tpu.runtime.batcher import batched_tts
 
-        batcher = batched_tts(model, batch_size=8, chunk_frames=16)
+        # B=16 x chunk=64 is the measured throughput knee on this chip
+        # (dispatch sweep: 0.27 ms/slot-frame; B=32 saturates, chunk=16 pays
+        # ~30 ms fixed dispatch cost too often).
+        NB = 16
+        batcher = batched_tts(model, batch_size=NB, chunk_frames=64, depth=2)
         _ = batcher.generate("Warm up the batched decode loop now please.",
                              pauses=False)
-        results = [None] * 8
+        results = [None] * NB
 
         def run(i):
             results[i] = batcher.generate(TEXT, pauses=False)
 
-        threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(NB)]
         t0 = time.perf_counter()
         for th in threads:
             th.start()
@@ -100,8 +104,8 @@ def main():
             th.join()
         dt = time.perf_counter() - t0
         total = sum(r.size for r in results) / model.sample_rate
-        print(f"batched B=8: {total:.1f}s audio in {dt:.2f}s -> aggregate "
-              f"{total/dt:.1f}x realtime ({total/dt/8:.1f}x per stream)",
+        print(f"batched B={NB}: {total:.1f}s audio in {dt:.2f}s -> aggregate "
+              f"{total/dt:.1f}x realtime ({total/dt/NB:.1f}x per stream)",
               file=sys.stderr)
         batcher.stop()
     except Exception as e:  # noqa: BLE001

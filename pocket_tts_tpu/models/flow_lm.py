@@ -35,12 +35,25 @@ def sample_noise(
     b=c); reference: crates/pocket-tts/src/models/flow_lm.rs:39-65).
 
     ``temp`` may be a per-batch [B] vector (continuous batching); ``clamped``
-    is static because truncation changes the compiled program.
+    is static because truncation changes the compiled program — EXCEPT in
+    ``clamped="vec"`` mode, where ``noise_clamp`` is a per-slot [B] vector
+    (<= 0 means unclamped) and the choice is data: both samplers draw from the
+    same key and each slot selects its own.  One compiled program serves
+    mixed-clamp batches.
     """
     temp = jnp.asarray(temp, jnp.float32)
     std = jnp.sqrt(temp)
     if temp.ndim == 1:
         std = std[:, None]
+    if clamped == "vec":
+        clamp = jnp.asarray(noise_clamp, jnp.float32)[:, None]
+        bound = jnp.where(clamp > 0, clamp, 1.0) / jnp.maximum(std, 1e-12)
+        free = jax.random.normal(key, shape, jnp.float32)
+        trunc = jax.random.truncated_normal(key, -bound, bound, shape, jnp.float32)
+        noise = jnp.where(clamp > 0, trunc, free) * std
+        # erfinv's u -> +-1 edge can yield inf at ~2^-24/sample; the truncation
+        # bound IS the absolute clamp, so clipping is semantically free
+        return jnp.where(clamp > 0, jnp.clip(noise, -clamp, clamp), noise)
     if not clamped:
         return jax.random.normal(key, shape, jnp.float32) * std
     bound = jnp.asarray(noise_clamp, jnp.float32) / jnp.maximum(std, 1e-12)
@@ -88,10 +101,11 @@ def step(
     pos: jnp.ndarray,  # [B]
     latent: jnp.ndarray,  # [B, ldim] previous latent (bos_emb on the first step)
     noise: jnp.ndarray,  # [B, ldim] pre-sampled Gaussian
-    t_emb_table: jnp.ndarray,  # [num_steps, flow_dim]
+    t_emb_table: jnp.ndarray,  # [num_steps, flow_dim] ([num_steps, B, flow_dim] with lsd_vec)
     lsd_decode_steps: int,
     eos_threshold: float,
     use_pallas: bool = False,
+    lsd_vec: jnp.ndarray | None = None,  # [B] per-slot step counts (batched serving)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One autoregressive frame.  Returns (next_latent, eos_logit, kc, vc, pos)."""
     tcfg = cfg.flow_lm.transformer
@@ -109,10 +123,16 @@ def step(
     # eos decision: logit > threshold (flow_lm.py:124)
 
     cond_emb = flow_mlp.embed_condition(params["flow"], h)
-    next_latent = flow_mlp.lsd_decode(
-        params["flow"], cond_emb, t_emb_table, noise, lsd_decode_steps,
-        use_pallas=use_pallas,
-    )
+    if lsd_vec is not None:
+        next_latent = flow_mlp.lsd_decode_masked(
+            params["flow"], cond_emb, t_emb_table, noise, lsd_vec,
+            lsd_decode_steps, use_pallas=use_pallas,
+        )
+    else:
+        next_latent = flow_mlp.lsd_decode(
+            params["flow"], cond_emb, t_emb_table, noise, lsd_decode_steps,
+            use_pallas=use_pallas,
+        )
     _ = eos_threshold  # thresholding is done by the caller on the logit
     return next_latent, eos_logit, k_cache, v_cache, pos + 1
 

@@ -49,6 +49,19 @@ def time_embedding_table(params: dict, num_steps: int) -> jnp.ndarray:
     return (e_s + e_t) / 2.0
 
 
+def time_embedding_tables(params: dict, max_steps: int) -> jnp.ndarray:
+    """[max_steps, max_steps, dim]: row L-1 is the L-step LSD schedule's
+    embedding table, zero-padded beyond L.  Indexed per batch slot by the
+    continuous batcher so requests with different ``lsd_decode_steps`` share
+    one compiled decode program (padded rows are dt=0 no-op steps in
+    :func:`lsd_decode_masked`, so their embedding values never matter)."""
+    rows = []
+    for n in range(1, max_steps + 1):
+        tab = time_embedding_table(params, n)
+        rows.append(jnp.pad(tab, ((0, max_steps - n), (0, 0))))
+    return jnp.stack(rows)
+
+
 def embed_condition(params: dict, cond: jnp.ndarray) -> jnp.ndarray:
     """cond_embed: [.., cond_dim] -> [.., dim]."""
     return cond @ mat(params["cond_w"]).T + params["cond_b"]
@@ -100,6 +113,34 @@ def lsd_decode(
         y = t_emb_table[i] + cond_emb
         v = step_fn(params, y, x)
         x = x + v.astype(jnp.float32) / num_steps
+    return x
+
+
+def lsd_decode_masked(
+    params: dict,
+    cond_emb: jnp.ndarray,
+    t_emb_sb: jnp.ndarray,  # [max_steps, B, dim] per-slot time embeddings
+    noise: jnp.ndarray,
+    steps_vec: jnp.ndarray,  # [B] int32 per-slot step counts (1..max_steps)
+    max_steps: int,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Per-slot LSD step counts in ONE compiled program (mixed
+    ``lsd_decode_steps`` under continuous batching): every slot runs
+    ``max_steps`` flow evaluations, but slot s integrates with dt = 1/steps[s]
+    for its first steps[s] iterations and dt = 0 afterwards — identical to
+    :func:`lsd_decode` at steps[s], at the cost of the batch-max step count."""
+    if use_pallas:
+        from pocket_tts_tpu.ops.pallas.flow_kernel import flow_step_pallas as step_fn
+    else:
+        step_fn = flow_step
+    x = noise.astype(jnp.float32)
+    inv = 1.0 / steps_vec.astype(jnp.float32)
+    for i in range(max_steps):
+        y = t_emb_sb[i] + cond_emb
+        v = step_fn(params, y, x)
+        dt = jnp.where(i < steps_vec, inv, 0.0)[:, None]
+        x = x + v.astype(jnp.float32) * dt
     return x
 
 

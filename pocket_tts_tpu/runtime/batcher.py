@@ -107,12 +107,18 @@ class ContinuousBatcher:
     """Owns a batched Engine and a background decode thread."""
 
     def __init__(self, model: TTSModel, batch_size: int = 4,
-                 chunk_frames: int = 8, seed: int = 0):
+                 chunk_frames: int = 8, seed: int = 0, depth: int = 2):
         import dataclasses
 
         self.model = model
         self.batch = batch_size
         self.chunk = chunk_frames
+        # pipeline depth: dispatches in flight before the oldest is fetched.
+        # Measured on the axon TPU: each dispatch has ~30 ms fixed cost and
+        # fetch blocks ~10 ms — depth 2 overlaps both with device compute.
+        # Cost: EOS discovery / slot retirement lag depth*chunk frames (the
+        # overshoot is computed-and-discarded, same as single-stream).
+        self.depth = max(1, depth)
         # right-size the codec ring for this chunk width: the single-stream
         # config sizes it for 128-frame chunks, which at batch 8 wastes ~50 MB
         # of per-frame ring traffic
@@ -159,14 +165,6 @@ class ContinuousBatcher:
             raise ValueError("Text prompt cannot be empty")
         if self._dead:
             raise RuntimeError("batcher decode loop has crashed; restart it")
-        gen_req = gen or self.model.gen
-        if (gen_req.lsd_decode_steps != self.model.gen.lsd_decode_steps
-                or gen_req.noise_clamp != self.model.gen.noise_clamp):
-            # lsd/noise_clamp are compile-static and shared across the batch;
-            # per-slot values aren't possible — the server routes such requests
-            # through the single-flight path instead
-            logger.warning("batched decode ignores per-request lsd_decode_steps/"
-                           "noise_clamp (using the server's %s)", self.model.gen)
         if voice is None:
             voice = self.model.get_voice_state()
         gen = gen or self.model.gen
@@ -264,7 +262,11 @@ class ContinuousBatcher:
         state = engine.new_state(self.batch)
         temps = np.full((self.batch,), 0.7, np.float32)
         eos_th = np.full((self.batch,), -4.0, np.float32)
-        pending = None  # in-flight (owners, audio, is_eos) awaiting fetch
+        # per-slot compile-static-in-the-reference knobs, here data: lsd step
+        # counts (masked Euler) and noise clamps (0 = unclamped)
+        lsd = np.ones((self.batch,), np.int32)
+        clamp = np.zeros((self.batch,), np.float32)
+        pending: list = []  # in-flight (owners, audio, is_eos) awaiting fetch
 
         while not self._stop.is_set():
             # 1. admit pending segments into free slots
@@ -293,42 +295,63 @@ class ContinuousBatcher:
                 slot.base_pos = seg.request.voice.length + seg.n_tokens
                 temps[i] = seg.request.gen.temp
                 eos_th[i] = seg.request.gen.eos_threshold
+                lsd[i] = max(1, seg.request.gen.lsd_decode_steps)
+                nc = seg.request.gen.noise_clamp
+                clamp[i] = nc if nc is not None else 0.0
                 admitted = True
             if admitted:
                 state = engine.prefill_tokens(state, tokens, t_valid)
 
             active = [s for s in slots if not s.free]
             if not active:
-                if pending is not None:
-                    self._route(slots, *pending, frame_size)
-                    pending = None
+                while pending:
+                    self._route(slots, *pending.pop(0), frame_size)
                 if self._stop.wait(0.005):
                     break
                 continue
 
             # window must cover the DISPATCHED frontier, not the routed one —
-            # with the depth-1 pipeline frames_done lags by one chunk, and a
+            # with pipelining frames_done lags by up to depth chunks, and a
             # too-small window would clamp KV writes onto the window edge
             # (silent cache corruption)
             window = engine.window_for(
                 max(s.base_pos + s.dispatched for s in active), self.chunk)
-            # 2. dispatch one decode chunk over every slot; results of the
-            #    PREVIOUS chunk are fetched while this one computes (depth-1
-            #    pipeline hides the device->host round-trip).  Slot ownership
-            #    snapshot travels with the dispatch: routing must credit the
-            #    frames to the segments that were resident at dispatch time.
+            # 2. dispatch one decode chunk over every slot; results of older
+            #    chunks are fetched while newer ones compute (depth-N pipeline
+            #    hides both the dispatch fixed cost and the device->host
+            #    round-trip).  Slot ownership snapshot travels with each
+            #    dispatch: routing must credit the frames to the segments that
+            #    were resident at dispatch time.
+            # free slots keep lsd=1 so an idle lane never raises the batch's
+            # static step ceiling
+            for i, s in enumerate(slots):
+                if s.free:
+                    lsd[i] = 1
+            # homogeneous batches (the common case: nobody overrides
+            # lsd/noise_clamp) take the plain static decode — the per-slot vec
+            # program pays ~10% for the masked steps and dual noise draw
+            act_idx = [i for i, s in enumerate(slots) if not s.free]
+            knobs = {(int(lsd[i]), float(clamp[i])) for i in act_idx}
             self._key, key = jax.random.split(self._key)
-            state, _, audio, is_eos = engine.decode_frames(
-                state, key, self.chunk, self.model.gen, temps=temps,
-                eos_thresholds=eos_th, window=window)
+            if len(knobs) == 1:
+                l0, c0 = next(iter(knobs))
+                gen0 = dataclasses.replace(self.model.gen, lsd_decode_steps=l0,
+                                           noise_clamp=c0 if c0 > 0 else None)
+                state, _, audio, is_eos = engine.decode_frames(
+                    state, key, self.chunk, gen0, temps=temps,
+                    eos_thresholds=eos_th, window=window)
+            else:
+                state, _, audio, is_eos = engine.decode_frames(
+                    state, key, self.chunk, self.model.gen, temps=temps,
+                    eos_thresholds=eos_th, window=window, lsd_vec=lsd,
+                    clamp_vec=clamp)
             for s in active:
                 s.dispatched += self.chunk
-            owners = [s.segment for s in slots]
-            if pending is not None:
-                self._route(slots, *pending, frame_size)
-            pending = (owners, audio, is_eos)
-        if pending is not None:
-            self._route(slots, *pending, frame_size)
+            pending.append(([s.segment for s in slots], audio, is_eos))
+            while len(pending) > self.depth:
+                self._route(slots, *pending.pop(0), frame_size)
+        while pending:
+            self._route(slots, *pending.pop(0), frame_size)
 
     def _route(self, slots, owners, audio, is_eos, frame_size) -> None:
         """Fetch one chunk's results and route frames to their segments."""
@@ -361,7 +384,7 @@ class ContinuousBatcher:
 
 
 def batched_tts(model: TTSModel, batch_size: int = 4,
-                chunk_frames: int = 8) -> ContinuousBatcher:
-    b = ContinuousBatcher(model, batch_size, chunk_frames)
+                chunk_frames: int = 8, depth: int = 2) -> ContinuousBatcher:
+    b = ContinuousBatcher(model, batch_size, chunk_frames, depth=depth)
     b.start()
     return b

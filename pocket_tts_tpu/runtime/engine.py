@@ -254,8 +254,8 @@ class Engine:
 
     # -- decode -----------------------------------------------------------
 
-    def _decode_impl(self, params, state, key, gen, *, n_frames: int,
-                     lsd_steps: int, clamped: bool, window: int = 0):
+    def _decode_impl(self, params, state, key, gen, lsd_vec=None, *,
+                     n_frames: int, lsd_steps: int, clamped, window: int = 0):
         """K frames per dispatch, in two stages:
 
         1. ``lax.scan`` over the (inherently sequential) FlowLM AR steps,
@@ -269,9 +269,21 @@ class Engine:
         instead of max_seq.  The caller guarantees max(pos) + K <= window; the
         window prefix is merged back afterwards (two ~window-sized copies per
         CHUNK, vs a per-FRAME attention over the dead tail).
+
+        ``lsd_vec`` ([B] int32, batched serving): per-slot LSD step counts —
+        ``lsd_steps`` is then the static batch ceiling and each slot runs its
+        own count via masked Euler steps (flow_mlp.lsd_decode_masked), with
+        ``clamped="vec"`` making per-slot noise truncation data too.  One
+        compiled program serves mixed per-request knobs.
         """
         cfg = self.cfg
-        table = flow_mlp.time_embedding_table(params["flow_lm"]["flow"], lsd_steps)
+        if lsd_vec is not None:
+            tables = flow_mlp.time_embedding_tables(params["flow_lm"]["flow"],
+                                                    lsd_steps)
+            table = tables[lsd_vec - 1].transpose(1, 0, 2)  # [S, B, dim]
+        else:
+            table = flow_mlp.time_embedding_table(params["flow_lm"]["flow"],
+                                                  lsd_steps)
         b = state["pos"].shape[0]
         temp, noise_clamp, eos_threshold = gen
         full_kc, full_vc = state["kc"], state["vc"]
@@ -294,6 +306,7 @@ class Engine:
             latent, eos_logit, kc, vc, pos = flow_lm.step(
                 params["flow_lm"], cfg, st["kc"], st["vc"], st["pos"], st["latent"],
                 noise, table, lsd_steps, 0.0, use_pallas=self._use_pallas,
+                lsd_vec=lsd_vec,
             )
             new_st = {"kc": kc, "vc": vc, "pos": pos, "latent": latent}
             return (new_st, key), (latent, eos_logit)
@@ -335,15 +348,37 @@ class Engine:
                       gen: GenParams, *, temps: np.ndarray | None = None,
                       eos_thresholds: np.ndarray | None = None,
                       window: int = 0,
+                      lsd_vec: np.ndarray | None = None,
+                      clamp_vec: np.ndarray | None = None,
                       ) -> tuple[dict, jax.Array, np.ndarray, np.ndarray]:
         """``temps`` / ``eos_thresholds``: optional per-slot [B] vectors for the
         continuous batcher; default broadcasts the request GenParams.
-        ``window``: static attention window (see _decode_impl)."""
+        ``window``: static attention window (see _decode_impl).
+        ``lsd_vec`` / ``clamp_vec``: per-slot lsd_decode_steps / noise clamp
+        (0 = unclamped) — the static step ceiling is the batch max rounded up
+        to a power of two, bounding compiled-variant count at log2(max_lsd)."""
         b = state["pos"].shape[0]
         if temps is None:
             temps = np.full((b,), gen.temp, np.float32)
         if eos_thresholds is None:
             eos_thresholds = np.full((b,), gen.eos_threshold, np.float32)
+        if lsd_vec is not None or clamp_vec is not None:
+            if lsd_vec is None:
+                lsd_vec = np.full((b,), gen.lsd_decode_steps, np.int32)
+            if clamp_vec is None:
+                clamp_vec = np.full(
+                    (b,), gen.noise_clamp if gen.noise_clamp is not None else 0.0,
+                    np.float32)
+            lsd_steps = 1 << (int(max(1, lsd_vec.max())) - 1).bit_length()
+            gen_args = (jnp.asarray(temps, jnp.float32),
+                        jnp.asarray(clamp_vec, jnp.float32),
+                        jnp.asarray(eos_thresholds, jnp.float32))
+            return self._decode(
+                self.params, state, key, gen_args,
+                jnp.asarray(np.asarray(lsd_vec, np.int32)),
+                n_frames=n_frames, lsd_steps=lsd_steps, clamped="vec",
+                window=window,
+            )
         gen_args = (
             jnp.asarray(temps, jnp.float32),
             jnp.float32(gen.noise_clamp if gen.noise_clamp is not None else 0.0),

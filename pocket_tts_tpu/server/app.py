@@ -96,17 +96,13 @@ def create_app(state: ServerState):
         # never on the event loop
         voice = await loop.run_in_executor(
             state.pool, state.resolve, body.get("voice"))
-        base = state.model
-        batchable = (state.batcher is not None
-                     and model.gen.lsd_decode_steps == base.gen.lsd_decode_steps
-                     and model.gen.noise_clamp == base.gen.noise_clamp)
-        if batchable:
+        if state.batcher is not None:
+            # per-request lsd_decode_steps / noise_clamp ride the batch as
+            # per-slot data (engine lsd_vec/clamp_vec) — no single-flight path
             wav = await loop.run_in_executor(
                 state.pool, lambda: state.batcher.generate(
                     str(text), voice, model.gen))
         else:
-            # lsd/noise_clamp are compile-static per decode program: requests
-            # overriding them take the single-flight path
             async with state.lock:
                 wav = await loop.run_in_executor(
                     state.pool, lambda: model.generate_with_pauses(str(text), voice))
@@ -155,18 +151,11 @@ def create_app(state: ServerState):
             fut.cancel()
             return False
 
-        base = state.model
-        batchable = (state.batcher is not None
-                     and model.gen.lsd_decode_steps == base.gen.lsd_decode_steps
-                     and model.gen.noise_clamp == base.gen.noise_clamp)
-
         def producer():
             try:
-                if batchable:
+                if state.batcher is not None:
                     source = state.batcher.stream(str(text), voice, model.gen)
                 else:
-                    # compile-static overrides (lsd/noise_clamp) take the
-                    # single-flight path, same as /generate
                     source = model.generate_stream_long(str(text), voice)
                 for chunk in source:
                     if not put(audio_io.pcm_i16_le_bytes(chunk)):
@@ -179,7 +168,8 @@ def create_app(state: ServerState):
 
         import contextlib
 
-        ctx = contextlib.nullcontext() if batchable else state.lock
+        ctx = (contextlib.nullcontext() if state.batcher is not None
+               else state.lock)
         async with ctx:
             task = loop.run_in_executor(state.pool, producer)
             try:

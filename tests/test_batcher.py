@@ -92,6 +92,36 @@ def test_empty_text(batcher):
         batcher.generate("   ")
 
 
+def test_mixed_lsd_and_clamp_concurrent(model, batcher):
+    """Per-request lsd_decode_steps / noise_clamp ride the batch as per-slot
+    data (masked Euler steps, data-driven truncation): concurrent requests with
+    DIFFERENT knobs must each match their own single-stream result — no
+    single-flight fallback, no cross-contamination between slots."""
+    text = "Mixed knob requests share one batch."
+    gens = [GenParams(temp=0.0, lsd_decode_steps=1),
+            GenParams(temp=0.0, lsd_decode_steps=2),
+            GenParams(temp=0.0, lsd_decode_steps=3, noise_clamp=0.5)]
+    singles = [model.with_params(lsd_decode_steps=g.lsd_decode_steps,
+                                 noise_clamp=g.noise_clamp)
+               .generate_with_pauses(text) for g in gens]
+    # lsd must actually change the audio, or this test proves nothing
+    assert not np.allclose(singles[0], singles[1], atol=1e-4)
+    results = [None] * len(gens)
+
+    def run(i):
+        results[i] = batcher.generate(text, gen=gens[i])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(gens))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, (got, want) in enumerate(zip(results, singles)):
+        assert got is not None, i
+        assert got.shape == want.shape, (i, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"req {i}")
+
+
 def test_window_bucket_crossing():
     """Regression: the batcher's attention window must cover the DISPATCHED
     frontier (frames_done lags one chunk behind in the pipeline).  A voice
