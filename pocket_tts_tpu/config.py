@@ -175,6 +175,13 @@ class RuntimeConfig:
     # Static attention-window buckets for decode: the scan attends over the
     # smallest bucket covering max(pos)+K instead of the whole max_seq cache.
     window_buckets: tuple[int, ...] = (256, 512, 768)
+    # Chunk size (12.5 Hz frames) for the streaming voice-prompt encoder used
+    # when a prompt exceeds the largest encode bucket.  The reference adapts
+    # 120/180/240 to the prompt length to bound CPU memory
+    # (tts_model.rs:562-577 + the voice_prompt_chunk_frames override at :40);
+    # here the size is fixed because each size is a compiled program — one
+    # variant serves any prompt length with carried streaming state.
+    voice_prompt_chunk_frames: int = 240
 
 
 @dataclasses.dataclass(frozen=True)

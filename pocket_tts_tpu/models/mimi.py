@@ -95,6 +95,63 @@ def encode_to_latent(
     return batch_conv1d(sp, params["downsample_w"], None, emb)
 
 
+def init_encode_state(plans: MimiPlans, batch: int, ring: int, dtype=jnp.float32) -> dict:
+    """Streaming-encode state: SEANet encoder conv tails, encoder-transformer
+    ring KV, and the stride-16 downsample conv tail.  Lets arbitrarily long
+    voice prompts encode in fixed-size chunks with EXACT batch-encode semantics
+    (reference: chunked encode_to_latent with carried model_state,
+    crates/pocket-tts/src/tts_model.rs:530-545)."""
+    cfg = plans.cfg
+    tcfg = cfg.transformer
+    kc, vc = transformer.init_cache(
+        tcfg.num_layers, batch, ring, tcfg.num_heads, tcfg.head_dim, dtype
+    )
+    from pocket_tts_tpu.ops.conv import conv_init_state
+
+    return {
+        "enc": seanet.init_state(plans.encoder, batch, dtype),
+        "kc": kc,
+        "vc": vc,
+        "pos": jnp.zeros((batch,), jnp.int32),
+        "down": conv_init_state(plans.specs["downsample"], batch, dtype),
+    }
+
+
+def encode_step(
+    params: dict, plans: MimiPlans, state: dict, audio: jnp.ndarray
+) -> tuple[jnp.ndarray, dict]:
+    """Streaming encode of one chunk: [B, 1, C*frame_size] -> [B, 512, C].
+
+    Chunk length must be a multiple of ``frame_size`` (keeps every strided
+    conv's phase aligned across chunk boundaries).  Chaining encode_step over
+    chunks from a fresh init_encode_state equals encode_to_latent on the whole
+    waveform (same ops; the banded batch attention and the windowed ring
+    attention share the window rule)."""
+    from pocket_tts_tpu.ops.conv import streaming_conv1d
+
+    cfg = plans.cfg
+    tcfg = cfg.transformer
+    x, enc_state = seanet.streaming_forward(plans.encoder, params["encoder"],
+                                            state["enc"], audio)
+    t200 = x.shape[-1]
+    cap = state["kc"].shape[2]
+    assert cap >= t200 + tcfg.context - 1, (
+        f"encode ring {cap} too small for {t200}-step write with context "
+        f"{tcfg.context}")
+    positions = state["pos"][:, None] + jnp.arange(t200, dtype=jnp.int32)[None, :]
+    cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    x, kc, vc = transformer.projected_ring_forward(
+        params["enc_tf"], tcfg, state["kc"], state["vc"], state["pos"], x, cos, sin
+    )
+    sp = plans.specs["downsample"]
+    lat, down_state = streaming_conv1d(sp, params["downsample_w"], None,
+                                       state["down"], x)
+    new_state = {"enc": enc_state, "kc": kc, "vc": vc,
+                 "pos": state["pos"] + t200, "down": down_state}
+    return lat, new_state
+
+
 def quantize(params: dict, latent_bct: jnp.ndarray) -> jnp.ndarray:
     """1x1 conv 32 -> 512 (DummyQuantizer.output_proj)."""
     from pocket_tts_tpu.ops.qtensor import mat

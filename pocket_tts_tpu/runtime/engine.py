@@ -398,28 +398,76 @@ class Engine:
                                     block=self._rcfg.encoder_block)
         return flow_lm.speaker_project(params["flow_lm"], lat.transpose(0, 2, 1))
 
+    def _encode_chunk_impl(self, params, state, audio):
+        lat, state = mimi.encode_step(params["mimi"], self.plans, state, audio)
+        return flow_lm.speaker_project(params["flow_lm"],
+                                       lat.transpose(0, 2, 1)), state
+
     def encode_voice(self, audio: np.ndarray) -> tuple[jnp.ndarray, int]:
         """24 kHz mono [T] or [1, T] -> ([1, frames, d_model] conditioning, frames).
 
-        Audio is bucketed on duration; the encoder stack is causal so padding
-        only affects frames beyond the valid count, which we slice off.
+        Short prompts (up to the largest encode bucket) run one batch encode,
+        bucketed on duration; longer prompts stream through fixed-size chunks
+        with carried conv/ring-KV state (mimi.encode_step) — any length in ONE
+        extra compiled program, replacing the reference's adaptive 120/180/240
+        chunking (tts_model.rs:530-577).  The encoder stack is causal, so
+        right-padding only affects frames beyond the valid count, which are
+        sliced off.  Prompts are bounded only by the FlowLM cache: frames are
+        capped at max_seq minus a generation reserve.
         """
         audio = np.asarray(audio, np.float32).reshape(1, 1, -1)
-        buckets = [int(s * self.cfg.mimi.sample_rate)
-                   for s in self._rcfg.encode_seconds_buckets]
-        if audio.shape[-1] > buckets[-1]:
-            # bounded like the reference's 30 s truncation (tts_model.py:612-616)
-            logger.warning("voice prompt %0.1f s exceeds the %0.1f s budget; "
-                           "truncating", audio.shape[-1] / self.cfg.mimi.sample_rate,
-                           buckets[-1] / self.cfg.mimi.sample_rate)
-            audio = audio[..., : buckets[-1]]
+        # cap: leave room in the FlowLM cache for text + generated frames
+        reserve = max(self._rcfg.text_buckets) + 64
+        max_frames = self._rcfg.max_seq - reserve
+        if audio.shape[-1] > max_frames * self.frame_size:
+            logger.warning(
+                "voice prompt %0.1f s exceeds the cache budget (%d frames); "
+                "truncating", audio.shape[-1] / self.cfg.mimi.sample_rate,
+                max_frames)
+            audio = audio[..., : max_frames * self.frame_size]
         t = audio.shape[-1]
         n_frames = -(-t // self.frame_size)
-        target = _bucket(t, tuple(buckets))
-        if t < target:
-            audio = np.pad(audio, ((0, 0), (0, 0), (0, target - t)))
-        cond = self._encode(self.params, jnp.asarray(audio))
-        return cond[:, :n_frames], n_frames
+        buckets = [int(s * self.cfg.mimi.sample_rate)
+                   for s in self._rcfg.encode_seconds_buckets]
+        if t <= buckets[-1]:
+            target = _bucket(t, tuple(buckets))
+            if t < target:
+                audio = np.pad(audio, ((0, 0), (0, 0), (0, target - t)))
+            cond = self._encode(self.params, jnp.asarray(audio))
+            return cond[:, :n_frames], n_frames
+        return self._encode_chunked(audio, n_frames), n_frames
+
+    def _encode_chunked(self, audio: np.ndarray, n_frames: int) -> jnp.ndarray:
+        if not hasattr(self, "_encode_chunk"):
+            self._encode_chunk = jax.jit(self._encode_chunk_impl,
+                                         donate_argnums=(1,))
+            self._init_encode_state = jax.jit(
+                lambda: mimi.init_encode_state(
+                    self.plans, 1, self._enc_ring(), self.dtype))
+        chunk_frames = max(1, self._rcfg.voice_prompt_chunk_frames)
+        samples = chunk_frames * self.frame_size
+        pad = (-audio.shape[-1]) % samples
+        if pad:
+            audio = np.pad(audio, ((0, 0), (0, 0), (0, pad)))
+        state = self._init_encode_state()
+        conds = []
+        for start in range(0, audio.shape[-1], samples):
+            cond, state = self._encode_chunk(
+                self.params, state, jnp.asarray(audio[..., start:start + samples]))
+            conds.append(cond)
+        return jnp.concatenate(conds, axis=1)[:, :n_frames]
+
+    def _enc_ring(self) -> int:
+        """Encoder-transformer ring capacity for one streaming chunk: the
+        write (resample_stride positions per 12.5 Hz frame) plus the
+        attention window."""
+        per_chunk = (self.cfg.mimi.resample_stride
+                     * max(1, self._rcfg.voice_prompt_chunk_frames))
+        need = per_chunk + self.cfg.mimi.transformer.context - 1
+        ring = per_chunk
+        while ring < need:
+            ring *= 2
+        return ring
 
     # -- generation-side helpers -------------------------------------------
 

@@ -179,7 +179,15 @@ class TTSModel:
 
     def _prefill_voice(self, cond, n_frames: int) -> VoiceState:
         st = self.engine.new_state()
-        st = self.engine.prefill_conditioning(st, cond, n_frames)
+        # conditioning longer than the largest prompt bucket prefills in
+        # bucket-sized pieces — positions continue from the cache cursor, so
+        # chunked prefill equals one-shot prefill
+        max_bucket = max(self.engine._rcfg.prompt_buckets)
+        off = 0
+        while off < n_frames:
+            n = min(max_bucket, n_frames - off)
+            st = self.engine.prefill_conditioning(st, cond[:, off:off + n], n)
+            off += n
         return VoiceState(st["kc"], st["vc"], st["pos"], n_frames)
 
     # -- generation ----------------------------------------------------------

@@ -139,6 +139,36 @@ class TestMimi:
         assert got.shape == ref.shape  # [1, 32, 4] latents @ 12.5 Hz
         assert maxdiff(got, ref) < 2e-4
 
+    def test_encode_streaming_chunked_matches_oracle(self):
+        """Long voice prompts encode in fixed-size chunks with carried
+        conv/ring-KV state (mimi.encode_step); the chain must equal the
+        oracle's whole-sequence encode — the reference's chunked encode with
+        carried model_state (tts_model.rs:530-545) has the same invariant."""
+        m = _build_oracle_mimi(SMALL_CFG)
+        plans = mimi.MimiPlans(SMALL_CFG)
+        sd = {f"mimi.{k}": v for k, v in oracle.torch_state_dict_to_numpy(m).items()}
+        p = weights.convert_mimi(sd, plans)
+
+        torch.manual_seed(54)
+        audio = torch.randn(1, 1, 1920 * 7 - 50)  # 7 frames, non-multiple tail
+        ref = m.encode_to_latent(audio).detach().numpy()  # [1, 32, 7]
+
+        chunk_frames = 2
+        samples = chunk_frames * 1920
+        x = audio.numpy()
+        pad = (-x.shape[-1]) % samples
+        x = np.pad(x, ((0, 0), (0, 0), (0, pad)))
+        # ring: chunk write (16*2) + context (250) -> 512
+        st = mimi.init_encode_state(plans, 1, ring=512)
+        lats = []
+        for start in range(0, x.shape[-1], samples):
+            lat, st = mimi.encode_step(p, plans, st,
+                                       jnp.asarray(x[..., start:start + samples]))
+            lats.append(np.asarray(lat))
+        got = np.concatenate(lats, -1)[..., : ref.shape[-1]]
+        assert got.shape == ref.shape
+        assert maxdiff(got, ref) < 2e-4
+
     def test_decode_streaming_and_batch(self):
         from pocket_tts.modules.stateful_module import increment_steps, init_states
 

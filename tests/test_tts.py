@@ -126,3 +126,52 @@ def test_noise_clamp_e2e():
                  has_real_weights=False)
     a = m.generate("Clamped noise sampling.")
     assert a.size > 0 and np.isfinite(a).all()
+
+
+def test_long_voice_prompt_streams_untruncated(model):
+    """A prompt longer than the largest encode bucket (2 s here) must stream
+    through the chunked encoder (no 30 s-style truncation) and, when longer
+    than the largest prompt bucket (64 frames), prefill in bucket-sized
+    pieces.  The chunked conditioning must match the one-shot batch encode."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pocket_tts_tpu.models import flow_lm, mimi as mimi_mod
+
+    cfg = dataclasses.replace(
+        CFG, runtime=dataclasses.replace(CFG.runtime,
+                                         voice_prompt_chunk_frames=32))
+    m2 = TTSModel(cfg, model.params, gen=GenParams(temp=0.0),
+                  has_real_weights=False)
+    n_frames = 100  # 8 s: > 2 s encode bucket, > 64-frame prompt bucket
+    rng = np.random.default_rng(5)
+    audio = (rng.normal(size=n_frames * m2.frame_size) * 0.1).astype(np.float32)
+
+    cond, got_frames = m2.engine.encode_voice(audio)
+    assert got_frames == n_frames
+    assert cond.shape[1] == n_frames
+
+    # chunked streaming == one-shot batch encode + projection
+    lat = mimi_mod.encode_to_latent(m2.params["mimi"], m2.engine.plans,
+                                    jnp.asarray(audio).reshape(1, 1, -1),
+                                    block=cfg.runtime.encoder_block)
+    want = flow_lm.speaker_project(m2.params["flow_lm"], lat.transpose(0, 2, 1))
+    np.testing.assert_allclose(np.asarray(cond), np.asarray(want[:, :n_frames]),
+                               atol=2e-4)
+
+    vs = m2.get_voice_state_from_audio(audio)
+    assert vs.length == n_frames
+    wav = m2.generate("Hello there.", vs)
+    assert wav.size > 0 and np.isfinite(wav).all()
+
+    # chunked prefill == one-shot prefill (fits in one 128-frame bucket)
+    cfg_big = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime,
+                                         prompt_buckets=(16, 64, 128)))
+    m3 = TTSModel(cfg_big, model.params, gen=GenParams(temp=0.0),
+                  has_real_weights=False)
+    vs_one = m3._prefill_voice(cond, n_frames)
+    np.testing.assert_allclose(np.asarray(vs.pos), np.asarray(vs_one.pos))
+    np.testing.assert_allclose(np.asarray(vs.kc), np.asarray(vs_one.kc),
+                               atol=2e-4)
