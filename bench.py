@@ -111,6 +111,27 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"batched bench failed: {e}", file=sys.stderr)
 
+    # int8 weight-only serving (stderr detail): RTF + round-trip SNR, the
+    # reference's quantization quality metric (quantize.rs:157-171) — run last
+    # so a quantized-path failure can't cost the headline number.
+    try:
+        from pocket_tts_tpu.runtime.quantize import quantize_model, snr_report
+
+        qmodel = quantize_model(model)
+        snrs = snr_report(model.params, qmodel.params)
+        _ = qmodel.generate(TEXT)  # compile
+        qbest = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wav = qmodel.generate(TEXT)
+            qbest = max(qbest, wav.size / model.sample_rate
+                        / (time.perf_counter() - t0))
+        print(f"int8: {qbest:.1f}x realtime, SNR dB min {min(snrs.values()):.1f} "
+              f"mean {sum(snrs.values())/len(snrs):.1f} over {len(snrs)} tensors",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"int8 bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "single_stream_x_realtime",
         "value": round(best, 2),

@@ -152,17 +152,17 @@ class RuntimeConfig:
     compute_dtype: str = "auto"
     # FlowLM KV-cache capacity: voice-prompt frames + text tokens + latent frames.
     max_seq: int = 1024
-    # Mimi decoder ring capacity.  Ring writes must never wrap (cap % write-width
-    # == 0) and the 250-step window must survive the largest grouped write:
-    # cap - 16*max_chunk >= context.  4096 covers chunks up to 128 frames.
-    mimi_ring: int = 4096
     # Static bucket sizes for text prefill (token counts).
     text_buckets: tuple[int, ...] = (8, 16, 32, 64)
     # Static bucket sizes for voice-prompt conditioning prefill (12.5 Hz frames).
     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
     # Decode chunk schedule: frames generated per device dispatch.  Warm-up with
-    # small chunks for low first-audio latency, then amortize dispatch.
-    decode_chunks: tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128)
+    # small chunks for low first-audio latency, then amortize dispatch: on the
+    # tunneled backend every result fetch costs a ~30 ms round trip and every
+    # dispatch ~10 ms fixed device work, so the steady-state chunk is large
+    # (256 frames = 20 s audio per fetch; the AR scan itself runs at ~0.28
+    # ms/frame, within ~20% of the weight-streaming bound).
+    decode_chunks: tuple[int, ...] = (2, 16, 64, 256)
     # How many decode chunks are dispatched ahead of the host reading results —
     # hides the device->host sync round-trip (~25 ms on tunneled backends).
     pipeline_depth: int = 3

@@ -95,16 +95,17 @@ def encode_to_latent(
     return batch_conv1d(sp, params["downsample_w"], None, emb)
 
 
-def init_encode_state(plans: MimiPlans, batch: int, ring: int, dtype=jnp.float32) -> dict:
+def init_encode_state(plans: MimiPlans, batch: int, dtype=jnp.float32) -> dict:
     """Streaming-encode state: SEANet encoder conv tails, encoder-transformer
-    ring KV, and the stride-16 downsample conv tail.  Lets arbitrarily long
-    voice prompts encode in fixed-size chunks with EXACT batch-encode semantics
-    (reference: chunked encode_to_latent with carried model_state,
+    KV tails (last context-1 positions — ops.tail_attention), and the
+    stride-16 downsample conv tail.  Lets arbitrarily long voice prompts
+    encode in fixed-size chunks with EXACT batch-encode semantics (reference:
+    chunked encode_to_latent with carried model_state,
     crates/pocket-tts/src/tts_model.rs:530-545)."""
     cfg = plans.cfg
     tcfg = cfg.transformer
-    kc, vc = transformer.init_cache(
-        tcfg.num_layers, batch, ring, tcfg.num_heads, tcfg.head_dim, dtype
+    kc, vc = transformer.init_tail(
+        tcfg.num_layers, batch, tcfg.context, tcfg.num_heads, tcfg.head_dim, dtype
     )
     from pocket_tts_tpu.ops.conv import conv_init_state
 
@@ -134,14 +135,10 @@ def encode_step(
     x, enc_state = seanet.streaming_forward(plans.encoder, params["encoder"],
                                             state["enc"], audio)
     t200 = x.shape[-1]
-    cap = state["kc"].shape[2]
-    assert cap >= t200 + tcfg.context - 1, (
-        f"encode ring {cap} too small for {t200}-step write with context "
-        f"{tcfg.context}")
     positions = state["pos"][:, None] + jnp.arange(t200, dtype=jnp.int32)[None, :]
     cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    x, kc, vc = transformer.projected_ring_forward(
+    x, kc, vc = transformer.projected_tail_forward(
         params["enc_tf"], tcfg, state["kc"], state["vc"], state["pos"], x, cos, sin
     )
     sp = plans.specs["downsample"]
@@ -160,11 +157,15 @@ def quantize(params: dict, latent_bct: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bct,dc->bdt", latent_bct.astype(w.dtype), w)
 
 
-def init_decode_state(plans: MimiPlans, batch: int, ring: int, dtype=jnp.float32) -> dict:
+def init_decode_state(plans: MimiPlans, batch: int, dtype=jnp.float32) -> dict:
+    """Decoder streaming state.  kc/vc are KV *tails* (last context-1
+    positions, ops.tail_attention) — O(context) memory and attention cost per
+    chunk of ANY width, where the previous ring buffer cost O(capacity) in
+    both (measured 2x per-frame slowdown when the ring grew 4096 -> 8192)."""
     cfg = plans.cfg
     tcfg = cfg.transformer
-    kc, vc = transformer.init_cache(
-        tcfg.num_layers, batch, ring, tcfg.num_heads, tcfg.head_dim, dtype
+    kc, vc = transformer.init_tail(
+        tcfg.num_layers, batch, tcfg.context, tcfg.num_heads, tcfg.head_dim, dtype
     )
     return {
         "up": convtr_init_state(plans.specs["upsample"], batch, dtype),
@@ -190,14 +191,10 @@ def decode_step(
         plans.specs["upsample"], params["upsample_w"], None, state["up"], x
     )
     t200 = x.shape[-1]
-    cap = state["kc"].shape[2]
-    # the grouped write must leave the full attention window resident
-    assert cap >= t200 + tcfg.context - 1, (
-        f"ring {cap} too small for {t200}-step write with context {tcfg.context}")
     positions = state["pos"][:, None] + jnp.arange(t200, dtype=jnp.int32)[None, :]
     cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    x, kc, vc = transformer.projected_ring_forward(
+    x, kc, vc = transformer.projected_tail_forward(
         params["dec_tf"], tcfg, state["kc"], state["vc"], state["pos"], x, cos, sin
     )
     audio, dec_state = seanet.streaming_forward(plans.decoder, params["decoder"],

@@ -27,6 +27,7 @@ from pocket_tts_tpu.ops.attention import (
     causal_cache_attention,
     prefill_write,
     ring_write,
+    tail_attention,
     windowed_ring_attention,
 )
 from pocket_tts_tpu.ops.norms import layer_norm
@@ -175,6 +176,41 @@ def ring_forward(
     return y, k_cache, v_cache
 
 
+def tail_forward(
+    params: dict,
+    n_heads: int,
+    context: int,
+    k_tail: jnp.ndarray,  # [L, B, context-1, H, D]
+    v_tail: jnp.ndarray,
+    pos: jnp.ndarray,  # [B]
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    block: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sliding-window streaming step over carried KV tails (ops.tail_attention):
+    replaces ring_forward for the Mimi transformers — O(context) state and
+    attention cost, independent of how much history was processed."""
+
+    def layer(x, xs):
+        p_layer, kt, vt = xs
+        q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
+        attn, kt, vt = tail_attention(q, k, v, kt, vt, pos, context, block=block)
+        return _post_attn(p_layer, x, attn), (kt, vt)
+
+    y, (k_tail, v_tail) = lax.scan(layer, x, (params, k_tail, v_tail),
+                                   unroll=True)
+    return y, k_tail, v_tail
+
+
+def init_tail(
+    n_layers: int, batch: int, context: int, n_heads: int, head_dim: int,
+    dtype=jnp.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (n_layers, batch, context - 1, n_heads, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
 def batch_forward(
     params: dict,
     n_heads: int,
@@ -234,3 +270,18 @@ def projected_ring_forward(
     if "output_proj" in p:
         y = jnp.einsum("btd,cd->btc", y, mat(p["output_proj"]))
     return y.transpose(0, 2, 1), k_cache, v_cache
+
+
+def projected_tail_forward(
+    p: dict, cfg: MimiTransformerConfig, k_tail, v_tail, pos, x_bct, cos, sin
+):
+    x = x_bct.transpose(0, 2, 1)
+    if "input_proj" in p:
+        w_in = mat(p["input_proj"])
+        x = jnp.einsum("btc,dc->btd", x.astype(w_in.dtype), w_in)
+    y, k_tail, v_tail = tail_forward(
+        p["layers"], cfg.num_heads, cfg.context, k_tail, v_tail, pos, x, cos, sin
+    )
+    if "output_proj" in p:
+        y = jnp.einsum("btd,cd->btc", y, mat(p["output_proj"]))
+    return y.transpose(0, 2, 1), k_tail, v_tail

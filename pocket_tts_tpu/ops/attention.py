@@ -146,6 +146,76 @@ def windowed_ring_attention(
     return _sdpa(q, k_cache, v_cache, mask[:, None, :, :])
 
 
+def tail_attention(
+    q: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    k_tail: jnp.ndarray,
+    v_tail: jnp.ndarray,
+    pos: jnp.ndarray,
+    context: int,
+    block: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sliding-window attention with a carried KV *tail* — the streaming-conv
+    ``prev`` pattern applied to attention.
+
+    Instead of a ring buffer (whose masked attention and scatter writes cost
+    O(capacity) per chunk — measured 2x slowdown going 4096 -> 8192 on TPU),
+    the streaming state is just the last ``P = context - 1`` KV positions:
+    concat([tail, new]) is a contiguous, chronologically ordered buffer, the
+    window mask is STATIC (delta = P + i - j, cursor-independent), and cost is
+    O(T * (T + context)) regardless of how much history was processed.
+
+    q/k_new/v_new: [B, T, H, D] at absolute positions ``pos + i``;
+    k_tail/v_tail: [B, P, H, D] holding positions ``pos - P .. pos - 1``
+    (slots with negative absolute position are masked invalid).
+    Returns (out, new_k_tail, new_v_tail).
+    """
+    b, t, h, d = q.shape
+    p = k_tail.shape[1]
+    assert p == context - 1, (p, context)
+    k = jnp.concatenate([k_tail, k_new.astype(k_tail.dtype)], axis=1)
+    v = jnp.concatenate([v_tail, v_new.astype(v_tail.dtype)], axis=1)
+    new_k_tail, new_v_tail = k[:, -p:], v[:, -p:]
+
+    if t <= block:
+        i = jnp.arange(t)
+        j = jnp.arange(p + t)
+        delta = (p + i)[:, None] - j[None, :]  # query abs - key abs
+        band = (delta >= 0) & (delta < context)  # [T, S]
+        valid = (pos[:, None] - p + j[None, :]) >= 0  # [B, S]
+        mask = band[None, :, :] & valid[:, None, :]
+        return _sdpa(q, k, v, mask[:, None]), new_k_tail, new_v_tail
+
+    t_real = t
+    if t % block:  # pad queries+keys; padded keys never enter the band of real rows
+        pad = block - t % block
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        t = q.shape[1]
+    span = p + block  # keys for query block qi: concat[qi : qi + P + block)
+    n_blocks = t // block
+    ii = jnp.arange(block)
+    jj = jnp.arange(span)
+    band = ((p + ii)[:, None] - jj[None, :] >= 0) \
+        & ((p + ii)[:, None] - jj[None, :] < context)
+
+    def body(carry, i):
+        qs = i * block
+        qb = lax.dynamic_slice_in_dim(q, qs, block, axis=1)
+        kb = lax.dynamic_slice_in_dim(k, qs, span, axis=1)
+        vb = lax.dynamic_slice_in_dim(v, qs, span, axis=1)
+        valid = (pos[:, None] - p + qs + jj[None, :]) >= 0  # [B, span]
+        mask = band[None, :, :] & valid[:, None, :]
+        ob = _sdpa(qb, kb, vb, mask[:, None])
+        return carry, ob
+
+    _, blocks = lax.scan(body, None, jnp.arange(n_blocks))
+    out = blocks.transpose(1, 0, 2, 3, 4).reshape(b, t, h, d)
+    return out[:, :t_real], new_k_tail, new_v_tail
+
+
 def banded_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

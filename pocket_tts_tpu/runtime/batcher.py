@@ -119,18 +119,7 @@ class ContinuousBatcher:
         # Cost: EOS discovery / slot retirement lag depth*chunk frames (the
         # overshoot is computed-and-discarded, same as single-stream).
         self.depth = max(1, depth)
-        # right-size the codec ring for this chunk width: the single-stream
-        # config sizes it for 128-frame chunks, which at batch 8 wastes ~50 MB
-        # of per-frame ring traffic
-        need = 16 * chunk_frames + model.config.mimi.transformer.context - 1
-        ring = 16 * chunk_frames
-        while ring < need:
-            ring *= 2
-        cfg = dataclasses.replace(
-            model.config,
-            runtime=dataclasses.replace(model.config.runtime, mimi_ring=ring))
-        self.engine = Engine(cfg, model.params, batch_size=batch_size)
-        assert ring >= need
+        self.engine = Engine(model.config, model.params, batch_size=batch_size)
         self.tokenizer = model.tokenizer
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
         self._submit: queue.Queue[_Segment] = queue.Queue()

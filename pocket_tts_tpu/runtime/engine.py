@@ -153,8 +153,7 @@ class Engine:
             "pos": jnp.zeros((batch,), jnp.int32),
             "latent": jnp.broadcast_to(
                 params["bos_emb"].astype(jnp.float32), (batch, self.ldim)),
-            "mimi": mimi.init_decode_state(self.plans, batch, self._rcfg.mimi_ring,
-                                           self.dtype),
+            "mimi": mimi.init_decode_state(self.plans, batch, self.dtype),
         }
 
     def _reset_impl(self, params, kc, vc, pos, *, batch: int) -> dict:
@@ -162,8 +161,7 @@ class Engine:
             "kc": kc, "vc": vc, "pos": pos,
             "latent": jnp.broadcast_to(
                 params["bos_emb"].astype(jnp.float32), (batch, self.ldim)),
-            "mimi": mimi.init_decode_state(self.plans, batch, self._rcfg.mimi_ring,
-                                           self.dtype),
+            "mimi": mimi.init_decode_state(self.plans, batch, self.dtype),
         }
 
     def new_state(self, batch: int | None = None) -> dict:
@@ -195,8 +193,7 @@ class Engine:
         pos = write(state["pos"], pos_v.astype(jnp.int32), 0)
         latent = write(state["latent"],
                        params["bos_emb"].astype(jnp.float32)[None], 0)
-        fresh = mimi.init_decode_state(self.plans, 1, self._rcfg.mimi_ring,
-                                       self.dtype)
+        fresh = mimi.init_decode_state(self.plans, 1, self.dtype)
         new_mimi = dict(state["mimi"])
         new_mimi["kc"] = write(state["mimi"]["kc"], fresh["kc"], 1)
         new_mimi["vc"] = write(state["mimi"]["vc"], fresh["vc"], 1)
@@ -442,8 +439,7 @@ class Engine:
             self._encode_chunk = jax.jit(self._encode_chunk_impl,
                                          donate_argnums=(1,))
             self._init_encode_state = jax.jit(
-                lambda: mimi.init_encode_state(
-                    self.plans, 1, self._enc_ring(), self.dtype))
+                lambda: mimi.init_encode_state(self.plans, 1, self.dtype))
         chunk_frames = max(1, self._rcfg.voice_prompt_chunk_frames)
         samples = chunk_frames * self.frame_size
         pad = (-audio.shape[-1]) % samples
@@ -457,17 +453,6 @@ class Engine:
             conds.append(cond)
         return jnp.concatenate(conds, axis=1)[:, :n_frames]
 
-    def _enc_ring(self) -> int:
-        """Encoder-transformer ring capacity for one streaming chunk: the
-        write (resample_stride positions per 12.5 Hz frame) plus the
-        attention window."""
-        per_chunk = (self.cfg.mimi.resample_stride
-                     * max(1, self._rcfg.voice_prompt_chunk_frames))
-        need = per_chunk + self.cfg.mimi.transformer.context - 1
-        ring = per_chunk
-        while ring < need:
-            ring *= 2
-        return ring
 
     # -- generation-side helpers -------------------------------------------
 

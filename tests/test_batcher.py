@@ -134,7 +134,7 @@ def test_window_bucket_crossing():
 
     cfg = dataclasses.replace(
         CFG, runtime=RuntimeConfig(
-            max_seq=512, mimi_ring=256, text_buckets=(16, 32, 64),
+            max_seq=512, text_buckets=(16, 32, 64),
             prompt_buckets=(256,), decode_chunks=(2, 4, 8),
             encode_seconds_buckets=(1.0, 2.0), window_buckets=(256,),
             compute_dtype="float32"))

@@ -22,16 +22,7 @@ from pocket_tts_tpu.config import (  # noqa: E402
 from pocket_tts_tpu.models import flow_lm, flow_mlp, transformer  # noqa: E402
 from pocket_tts_tpu.ops.rope import rope_table  # noqa: E402
 
-CFG = Config(
-    flow_lm=FlowLMConfig(
-        flow=FlowConfig(dim=48, depth=2),
-        transformer=TransformerConfig(d_model=64, num_heads=4, num_layers=2,
-                                      hidden_scale=2, max_period=10000),
-        lookup_table=LookupTableConfig(dim=64, n_bins=100),
-    ),
-    mimi=MimiConfig(quantizer=QuantizerConfig(dimension=16, output_dimension=32),
-                    transformer=MimiTransformerConfig(d_model=32)),
-)
+from tests.parity_configs import FLOW_CFG as CFG  # noqa: E402
 
 
 def maxdiff(a, b):

@@ -36,7 +36,7 @@ def _cfg():
     return dataclasses.replace(
         FLOW_CFG,
         mimi=mimi_cfg,
-        runtime=RuntimeConfig(max_seq=128, mimi_ring=512, text_buckets=(8,),
+        runtime=RuntimeConfig(max_seq=128, text_buckets=(8,),
                               prompt_buckets=(8,), decode_chunks=(2, 4),
                               compute_dtype="float32"),
     )

@@ -89,7 +89,7 @@ def test_decoder_stage_parity(real_model):
     q = mimi.quantize(params["mimi"], denorm.transpose(0, 2, 1))
     assert np.abs(np.asarray(q) - refs["quantized"]).max() < 1e-2
 
-    state = mimi.init_decode_state(plans, 1, real_model.config.runtime.mimi_ring)
+    state = mimi.init_decode_state(plans, 1)
     audio, _ = mimi.decode_step(params["mimi"], plans, state, denorm.transpose(0, 2, 1))
     assert np.abs(np.asarray(audio) - refs["final_audio"]).max() < 0.1
 

@@ -22,14 +22,24 @@ def model():
 
 
 def test_overlong_voice_prompt_truncates(model, caplog):
-    """A prompt beyond the largest encode bucket truncates with a warning
-    instead of failing (reference: 30 s truncation, tts_model.py:612-616)."""
-    budget_s = CFG.runtime.encode_seconds_buckets[-1]
+    """Prompts beyond the largest encode bucket stream chunked (no 30 s-style
+    cut); only the FlowLM cache budget truncates, with a warning.  Cap here:
+    max_seq 512 - (64-token text bucket + 64 generation frames) = 384 frames."""
+    import dataclasses
+
+    from pocket_tts_tpu.runtime.engine import GenParams as GP
+    from pocket_tts_tpu.tts import TTSModel as TM
+
+    cfg = dataclasses.replace(
+        CFG, runtime=dataclasses.replace(CFG.runtime, max_seq=192,
+                                         voice_prompt_chunk_frames=32))
+    m2 = TM(cfg, model.params, gen=GP(temp=0.0), has_real_weights=False)
+    cap = 192 - (max(cfg.runtime.text_buckets) + 64)  # 64 frames
     wav = np.random.default_rng(0).normal(
-        size=int(24000 * (budget_s + 1.5))).astype(np.float32) * 0.1
+        size=(cap + 20) * m2.frame_size).astype(np.float32) * 0.1
     with caplog.at_level(logging.WARNING):
-        vs = model.get_voice_state_from_audio(wav)
-    assert vs.length == int(budget_s * 24000) // model.frame_size
+        vs = m2.get_voice_state_from_audio(wav)
+    assert vs.length == cap
     assert any("truncating" in r.message for r in caplog.records)
 
 

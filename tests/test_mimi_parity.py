@@ -18,18 +18,8 @@ from pocket_tts_tpu import weights  # noqa: E402
 from pocket_tts_tpu.config import MimiConfig, MimiTransformerConfig, QuantizerConfig, SEANetConfig  # noqa: E402
 from pocket_tts_tpu.models import mimi, seanet  # noqa: E402
 
-SMALL_SEANET = SEANetConfig(
-    dimension=32, channels=1, n_filters=8, n_residual_layers=1, ratios=(6, 5, 4),
-    kernel_size=7, residual_kernel_size=3, last_kernel_size=3, dilation_base=2,
-    pad_mode="constant", compress=2,
-)
-SMALL_CFG = MimiConfig(
-    sample_rate=24000, channels=1, frame_rate=12.5, seanet=SMALL_SEANET,
-    transformer=MimiTransformerConfig(
-        d_model=32, input_dimension=32, output_dimensions=(32,), num_heads=4,
-        num_layers=2, layer_scale=0.01, context=250, dim_feedforward=64),
-    quantizer=QuantizerConfig(dimension=8, output_dimension=32),
-)
+from tests.parity_configs import SMALL_MIMI as SMALL_CFG  # noqa: E402
+from tests.parity_configs import SMALL_SEANET  # noqa: E402
 
 
 def maxdiff(a, b):
@@ -159,7 +149,7 @@ class TestMimi:
         pad = (-x.shape[-1]) % samples
         x = np.pad(x, ((0, 0), (0, 0), (0, pad)))
         # ring: chunk write (16*2) + context (250) -> 512
-        st = mimi.init_encode_state(plans, 1, ring=512)
+        st = mimi.init_encode_state(plans, 1)
         lats = []
         for start in range(0, x.shape[-1], samples):
             lat, st = mimi.encode_step(p, plans, st,
@@ -189,7 +179,7 @@ class TestMimi:
             increment_steps(m, st_t, 16)
         ref = np.concatenate(refs, -1)
 
-        st = mimi.init_decode_state(plans, 1, ring=272)
+        st = mimi.init_decode_state(plans, 1)
         gots = []
         for lat in latents:
             y, st = mimi.decode_step(p, plans, st, jnp.asarray(lat.numpy()))
@@ -227,16 +217,14 @@ def test_decode_mixed_chunk_ring_wrap():
     latents = [torch.randn(1, cfg.quantizer.dimension, 1)
                for _ in range(n_frames)]
 
-    ring = 384  # >= 128 + 250 - 1 for the largest chunk; cumulative step
-    # counts (32, 96, 224, 352, ...) are unaligned, so chunk 5 straddles
-    st = mimi.init_decode_state(plans, 1, ring=ring)
+    st = mimi.init_decode_state(plans, 1)
     per_frame = []
     for lat in latents:
         y, st = mimi.decode_step(p, plans, st, jnp.asarray(lat.numpy()))
         per_frame.append(np.asarray(y))
     ref = np.concatenate(per_frame, -1)
 
-    st = mimi.init_decode_state(plans, 1, ring=ring)
+    st = mimi.init_decode_state(plans, 1)
     got = []
     i = 0
     for k in (2, 4, 8, 8, 8, 8, 2):  # mixed widths -> unaligned cursor

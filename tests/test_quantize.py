@@ -79,3 +79,18 @@ class TestQuantizedModel:
         # and decent early-sample agreement rather than bitwise equality.
         n = min(a.size, b.size, 1920)
         assert np.abs(a[:n] - b[:n]).max() < 0.5 * max(np.abs(a).max(), 1e-3)
+
+
+def test_snr_report():
+    from tests.test_tts import CFG
+    from pocket_tts_tpu import weights
+    from pocket_tts_tpu.models.mimi import MimiPlans
+    from pocket_tts_tpu.runtime.quantize import quantize_params, snr_report
+
+    params = weights.random_params(CFG, MimiPlans(CFG.mimi), seed=3)
+    qparams = quantize_params(params)
+    snrs = snr_report(params, qparams)
+    assert len(snrs) > 5  # backbone ff1/ff2/in_proj, flow mlps, seanet convs...
+    assert any("ff1" in k for k in snrs)
+    # symmetric per-channel int8 on well-scaled weights: high SNR everywhere
+    assert min(snrs.values()) > 25.0, snrs

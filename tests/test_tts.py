@@ -33,7 +33,7 @@ CFG = Config(
                                           context=48, dim_feedforward=64),
         quantizer=QuantizerConfig(dimension=16, output_dimension=32),
     ),
-    runtime=RuntimeConfig(max_seq=512, mimi_ring=256, text_buckets=(16, 32, 64),
+    runtime=RuntimeConfig(max_seq=512, text_buckets=(16, 32, 64),
                           prompt_buckets=(16, 64), decode_chunks=(2, 4, 8),
                           encode_seconds_buckets=(1.0, 2.0)),
 )
