@@ -287,6 +287,7 @@ class TTSModel:
         depth = max(1, getattr(self.engine._rcfg, "pipeline_depth", 1))
         base_pos = voice_state.length + n_tokens
         done = False
+        fetched_any = False
         while not done:
             k = next(schedule, None)
             if k is not None and issued < max_frames:
@@ -295,8 +296,13 @@ class TTSModel:
                     state, key, k, self.gen, window=window)
                 pending.append((k, audio, is_eos))
                 issued += k
-            if len(pending) > (depth if k is not None else 0):
+            # first-audio latency: the tunnel serializes the fetch behind
+            # queued executes, so fetch the FIRST chunk at depth 1 before
+            # filling the pipeline with the big steady-state chunks
+            eff_depth = depth if fetched_any else 1
+            if len(pending) > (eff_depth if k is not None else 0):
                 out, done = fetch()
+                fetched_any = True
                 if out is not None:
                     yield out
             elif k is None and not pending:
