@@ -89,21 +89,27 @@ def main():
         # ~30 ms fixed dispatch cost too often).
         NB = 16
         batcher = batched_tts(model, batch_size=NB, chunk_frames=64, depth=2)
-        _ = batcher.generate("Warm up the batched decode loop now please.",
-                             pauses=False)
-        results = [None] * NB
 
-        def run(i):
-            results[i] = batcher.generate(TEXT, pauses=False)
+        def run_all():
+            results = [None] * NB
 
-        threads = [threading.Thread(target=run, args=(i,)) for i in range(NB)]
-        t0 = time.perf_counter()
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join()
-        dt = time.perf_counter() - t0
-        total = sum(r.size for r in results) / model.sample_rate
+            def run(i):
+                results[i] = batcher.generate(TEXT, pauses=False)
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(NB)]
+            t0 = time.perf_counter()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            dt = time.perf_counter() - t0
+            return sum(r.size for r in results) / model.sample_rate, dt
+
+        # warm-up must cover every window bucket the full text reaches —
+        # a short warm-up leaves cold compiles inside the timed run
+        run_all()
+        total, dt = min((run_all() for _ in range(2)), key=lambda r: r[1])
         print(f"batched B={NB}: {total:.1f}s audio in {dt:.2f}s -> aggregate "
               f"{total/dt:.1f}x realtime ({total/dt/NB:.1f}x per stream)",
               file=sys.stderr)

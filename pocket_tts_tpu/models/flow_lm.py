@@ -56,8 +56,11 @@ def sample_noise(
         return jnp.where(clamp > 0, jnp.clip(noise, -clamp, clamp), noise)
     if not clamped:
         return jax.random.normal(key, shape, jnp.float32) * std
-    bound = jnp.asarray(noise_clamp, jnp.float32) / jnp.maximum(std, 1e-12)
-    return jax.random.truncated_normal(key, -bound, bound, shape, jnp.float32) * std
+    clamp = jnp.asarray(noise_clamp, jnp.float32)
+    bound = clamp / jnp.maximum(std, 1e-12)
+    noise = jax.random.truncated_normal(key, -bound, bound, shape, jnp.float32) * std
+    # same erfinv u -> +-1 edge-case insurance as the vec branch
+    return jnp.clip(noise, -clamp, clamp)
 
 
 def embed_text(params: dict, tokens: jnp.ndarray) -> jnp.ndarray:

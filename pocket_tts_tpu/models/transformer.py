@@ -10,8 +10,8 @@ pre-LN self-attention + GELU FFN with no-bias linears and optional LayerScale.
 Three execution modes:
 
 * ``cache_forward``  — unbounded causal over a dense KV cache (FlowLM backbone).
-* ``ring_forward``   — sliding-window over a ring KV cache (Mimi decoder, streaming).
-* ``batch_forward``  — whole-sequence banded attention, no cache (Mimi encoder).
+* ``tail_forward``   — sliding-window over carried KV tails (Mimi enc/dec, streaming).
+* ``batch_forward``  — whole-sequence banded attention, no cache (Mimi batch encode).
 """
 
 from __future__ import annotations
@@ -26,9 +26,7 @@ from pocket_tts_tpu.ops.attention import (
     cache_write,
     causal_cache_attention,
     prefill_write,
-    ring_write,
     tail_attention,
-    windowed_ring_attention,
 )
 from pocket_tts_tpu.ops.norms import layer_norm
 from pocket_tts_tpu.ops.qtensor import mat
@@ -150,32 +148,6 @@ def cache_forward(
     return y, k_cache, v_cache
 
 
-def ring_forward(
-    params: dict,
-    n_heads: int,
-    context: int,
-    k_cache: jnp.ndarray,  # [L, B, cap, H, D]
-    v_cache: jnp.ndarray,
-    pos: jnp.ndarray,  # [B]
-    x: jnp.ndarray,
-    cos: jnp.ndarray,
-    sin: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    cap = k_cache.shape[2]
-
-    def layer(x, xs):
-        p_layer, kc, vc = xs
-        q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
-        kc = ring_write(kc, k, pos, cap)
-        vc = ring_write(vc, v, pos, cap)
-        attn = windowed_ring_attention(q, kc, vc, pos, context)
-        return _post_attn(p_layer, x, attn), (kc, vc)
-
-    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache),
-                                     unroll=True)
-    return y, k_cache, v_cache
-
-
 def tail_forward(
     params: dict,
     n_heads: int,
@@ -255,21 +227,6 @@ def projected_batch_forward(
     if "output_proj" in p:
         y = jnp.einsum("btd,cd->btc", y, mat(p["output_proj"]))
     return y.transpose(0, 2, 1)
-
-
-def projected_ring_forward(
-    p: dict, cfg: MimiTransformerConfig, k_cache, v_cache, pos, x_bct, cos, sin
-):
-    x = x_bct.transpose(0, 2, 1)
-    if "input_proj" in p:
-        w_in = mat(p["input_proj"])
-        x = jnp.einsum("btc,dc->btd", x.astype(w_in.dtype), w_in)
-    y, k_cache, v_cache = ring_forward(
-        p["layers"], cfg.num_heads, cfg.context, k_cache, v_cache, pos, x, cos, sin
-    )
-    if "output_proj" in p:
-        y = jnp.einsum("btd,cd->btc", y, mat(p["output_proj"]))
-    return y.transpose(0, 2, 1), k_cache, v_cache
 
 
 def projected_tail_forward(

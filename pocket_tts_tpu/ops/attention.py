@@ -7,10 +7,10 @@ cursor, with validity expressed as masks — no dynamic shapes, no host control 
 
 * FlowLM: cache ``[B, H, S, D]``, cursor ``pos``; new KV written at ``pos..pos+T``;
   key slot ``j`` is visible to query at absolute position ``p`` iff ``j <= p``.
-* Mimi: ring ``[B, H, cap, D]`` with ``cap`` a multiple of the write width so writes
-  never wrap; slot positions are reconstructed from the cursor and masked to the
-  sliding window (the formulation of
-  python-reference/pocket_tts/modules/mimi_transformer.py:29-62,117-127).
+* Mimi: sliding window as a carried KV *tail* of the last ``context - 1``
+  positions (``tail_attention``) — replaces the reference's ring buffer
+  (python-reference/pocket_tts/modules/mimi_transformer.py:29-62): same window
+  semantics, O(context) cost instead of O(capacity), no wraparound.
 
 Softmax runs in float32.  Masked logits use a large negative constant; fully-masked
 (padded) query rows produce uniform garbage that callers never read.
@@ -88,61 +88,6 @@ def causal_cache_attention(
     q_pos = pos[:, None] + jnp.arange(t, dtype=pos.dtype)[None, :]  # [B,T]
     key_idx = jnp.arange(s, dtype=pos.dtype)[None, None, :]  # [1,1,S]
     mask = key_idx <= q_pos[:, :, None]  # [B,T,S]
-    return _sdpa(q, k_cache, v_cache, mask[:, None, :, :])
-
-
-def ring_positions(cap: int, pos_new: jnp.ndarray) -> jnp.ndarray:
-    """Absolute position stored in each ring slot, given the cursor *after* the
-    write (``pos_new`` [B]).  Slots not yet written get -1.
-    Mirrors python-reference/pocket_tts/modules/mimi_transformer.py:50-60.
-    """
-    idx = jnp.arange(cap, dtype=pos_new.dtype)[None, :]
-    last = pos_new[:, None] - 1  # absolute position of the last write
-    end_slot = last % cap
-    delta = idx - end_slot
-    positions = jnp.where(delta <= 0, last + delta, last + delta - cap)
-    invalid = idx >= pos_new[:, None]
-    return jnp.where(invalid, -1, positions)
-
-
-def ring_write(cache: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray, cap: int) -> jnp.ndarray:
-    """Write ``new`` [B,T,H,D] at ring offsets ``(pos + i) % cap``.
-
-    Scatter with per-position modulo indices (the oracle's formulation,
-    mimi_transformer.py:36-45): mixed decode-chunk widths leave the cumulative
-    cursor unaligned to the current width, so a write CAN straddle the ring
-    end — a dynamic_update_slice there would silently clamp instead of
-    wrapping, corrupting the cache (found by review; regression-tested in
-    test_mimi_parity.py)."""
-    t = new.shape[1]
-    idx = (pos[:, None].astype(jnp.int32)
-           + jnp.arange(t, dtype=jnp.int32)[None, :]) % cap  # [B, T]
-
-    def one(c, n, i):
-        return c.at[i].set(n)
-
-    return jax.vmap(one)(cache, new.astype(cache.dtype), idx)
-
-
-def windowed_ring_attention(
-    q: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
-    pos: jnp.ndarray,
-    context: int,
-) -> jnp.ndarray:
-    """Sliding-window attention over a ring cache (new KV already written).
-
-    ``q`` [B,T,H,D] at absolute positions ``pos + i``; cache [B,cap,H,D].
-    Visibility: slot valid, causal, and within ``context`` steps of the query.
-    """
-    b, t, h, d = q.shape
-    cap = k_cache.shape[1]
-    pos_new = pos + t
-    pos_k = ring_positions(cap, pos_new)  # [B,cap]
-    q_pos = pos[:, None] + jnp.arange(t, dtype=pos.dtype)[None, :]  # [B,T]
-    delta = q_pos[:, :, None] - pos_k[:, None, :]  # [B,T,cap]
-    mask = (pos_k[:, None, :] >= 0) & (delta >= 0) & (delta < context)
     return _sdpa(q, k_cache, v_cache, mask[:, None, :, :])
 
 

@@ -104,6 +104,11 @@ def should_quantize(name: str, leaf) -> bool:
     if leaf.ndim < 2 or leaf.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     lname = name.lower()
+    # biases are 1-D in torch but 2-D once layer-stacked ([L, dim]) — never
+    # quantize them (zero-init biases gave -inf SNR and they are tiny anyway)
+    last = lname.rsplit("/", 1)[-1]
+    if last.endswith("_b") or last in ("b", "b1", "b2", "bias"):
+        return False
     return not any(s in lname for s in SKIP_SUBSTRINGS)
 
 

@@ -178,6 +178,11 @@ class ContinuousBatcher:
                 tokens, n_tokens = text_mod.tokens_array(self.tokenizer, prepared)
                 max_frames = text_mod.max_generation_frames(prepared)
                 room = (self.engine._rcfg.max_seq - voice.length - n_tokens - 1)
+                if room < max_frames:
+                    logger.warning(
+                        "voice prompt (%d frames) leaves only %d of %d "
+                        "budgeted generation frames; audio may cut off",
+                        voice.length, max(0, room), max_frames)
                 seg = _Segment(req, index, "text", tokens=tokens,
                                n_tokens=n_tokens,
                                max_frames=max(0, min(max_frames, room)),
@@ -316,22 +321,28 @@ class ContinuousBatcher:
             for i, s in enumerate(slots):
                 if s.free:
                     lsd[i] = 1
-            # homogeneous batches (the common case: nobody overrides
-            # lsd/noise_clamp) take the plain static decode — the per-slot vec
-            # program pays ~10% for the masked steps and dual noise draw
+            # Batches where every active slot matches the server DEFAULTS (the
+            # common case: nobody overrides lsd/noise_clamp) take the plain
+            # static decode — the per-slot vec program pays ~10% for masked
+            # steps and the dual noise draw.  Overridden-but-homogeneous
+            # batches still go through the vec path: its pow2 step ceiling
+            # bounds compiled variants, whereas a static program per exact lsd
+            # value would cold-compile (minutes on this backend) on THIS
+            # thread, stalling every in-flight stream.
+            gen = self.model.gen
+            base = (max(1, gen.lsd_decode_steps),
+                    gen.noise_clamp if gen.noise_clamp is not None else 0.0)
             act_idx = [i for i, s in enumerate(slots) if not s.free]
-            knobs = {(int(lsd[i]), float(clamp[i])) for i in act_idx}
+            default_only = all((int(lsd[i]), float(clamp[i])) == base
+                               for i in act_idx)
             self._key, key = jax.random.split(self._key)
-            if len(knobs) == 1:
-                l0, c0 = next(iter(knobs))
-                gen0 = dataclasses.replace(self.model.gen, lsd_decode_steps=l0,
-                                           noise_clamp=c0 if c0 > 0 else None)
+            if default_only:
                 state, _, audio, is_eos = engine.decode_frames(
-                    state, key, self.chunk, gen0, temps=temps,
+                    state, key, self.chunk, gen, temps=temps,
                     eos_thresholds=eos_th, window=window)
             else:
                 state, _, audio, is_eos = engine.decode_frames(
-                    state, key, self.chunk, self.model.gen, temps=temps,
+                    state, key, self.chunk, gen, temps=temps,
                     eos_thresholds=eos_th, window=window, lsd_vec=lsd,
                     clamp_vec=clamp)
             for s in active:

@@ -413,8 +413,10 @@ class Engine:
         capped at max_seq minus a generation reserve.
         """
         audio = np.asarray(audio, np.float32).reshape(1, 1, -1)
-        # cap: leave room in the FlowLM cache for text + generated frames
-        reserve = max(self._rcfg.text_buckets) + 64
+        # cap: leave room in the FlowLM cache for a text segment plus a
+        # typical generated segment (~15 s); callers warn if a long prompt
+        # still squeezes generation below the text-derived budget
+        reserve = max(self._rcfg.text_buckets) + 192
         max_frames = self._rcfg.max_seq - reserve
         if audio.shape[-1] > max_frames * self.frame_size:
             logger.warning(
@@ -440,6 +442,10 @@ class Engine:
                                          donate_argnums=(1,))
             self._init_encode_state = jax.jit(
                 lambda: mimi.init_encode_state(self.plans, 1, self.dtype))
+            # eager ops are per-op remote compiles on this backend: the final
+            # assembly runs jitted (one cached program per chunk count)
+            self._concat_cond = jax.jit(
+                lambda *cs: jnp.concatenate(cs, axis=1))
         chunk_frames = max(1, self._rcfg.voice_prompt_chunk_frames)
         samples = chunk_frames * self.frame_size
         pad = (-audio.shape[-1]) % samples
@@ -451,7 +457,8 @@ class Engine:
             cond, state = self._encode_chunk(
                 self.params, state, jnp.asarray(audio[..., start:start + samples]))
             conds.append(cond)
-        return jnp.concatenate(conds, axis=1)[:, :n_frames]
+        full = conds[0] if len(conds) == 1 else self._concat_cond(*conds)
+        return full[:, :n_frames]
 
 
     # -- generation-side helpers -------------------------------------------

@@ -58,7 +58,10 @@ class ServerState:
     def model_with_overrides(self, body: dict) -> TTSModel:
         return self.model.with_params(
             temp=body.get("temperature"),
-            lsd_decode_steps=body.get("lsd_steps"),
+            # "lsd_steps" is the reference API field (handlers.rs:89); accept
+            # the library's "lsd_decode_steps" spelling as an alias
+            lsd_decode_steps=body.get("lsd_steps",
+                                      body.get("lsd_decode_steps")),
             eos_threshold=body.get("eos_threshold"),
             noise_clamp=body.get("noise_clamp"),
         )

@@ -31,10 +31,10 @@ def test_overlong_voice_prompt_truncates(model, caplog):
     from pocket_tts_tpu.tts import TTSModel as TM
 
     cfg = dataclasses.replace(
-        CFG, runtime=dataclasses.replace(CFG.runtime, max_seq=192,
+        CFG, runtime=dataclasses.replace(CFG.runtime, max_seq=384,
                                          voice_prompt_chunk_frames=32))
     m2 = TM(cfg, model.params, gen=GP(temp=0.0), has_real_weights=False)
-    cap = 192 - (max(cfg.runtime.text_buckets) + 64)  # 64 frames
+    cap = 384 - (max(cfg.runtime.text_buckets) + 192)  # 128 frames
     wav = np.random.default_rng(0).normal(
         size=(cap + 20) * m2.frame_size).astype(np.float32) * 0.1
     with caplog.at_level(logging.WARNING):

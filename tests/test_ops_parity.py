@@ -175,25 +175,6 @@ class TestConv:
         assert maxdiff(got_batch, ref) < 1e-4
 
 
-class TestRingMask:
-    def test_ring_positions_match_oracle_complete(self):
-        """ring_positions must reproduce the oracle's scatter-cache position
-        reconstruction (mimi_transformer.py:29-62)."""
-        from pocket_tts.modules.mimi_transformer import complete
-
-        cap, t, h, d = 48, 16, 2, 4
-        cache = torch.zeros(2, 1, h, cap, d)
-        end_offset = torch.zeros(1, dtype=torch.long)
-        for step in range(5):
-            k = torch.randn(1, h, t, d)
-            v = torch.randn(1, h, t, d)
-            res = complete(cache, end_offset, k, v)
-            pos_new = jnp.asarray([int(end_offset[0])])
-            got = attention.ring_positions(cap, pos_new)
-            ref = res.positions.numpy()
-            assert np.array_equal(np.asarray(got)[0], ref[0]), step
-
-
 class TestPrefillWrite:
     """Drop-mode prefill writes (review finding: bucket-wide garbage from
     batched admission must never clamp backward over a busy slot's live KV)."""
