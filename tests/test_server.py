@@ -134,9 +134,13 @@ def test_per_request_override(client):
         resp = await c.post("/generate", json={
             "text": "Override parameters please.", "temperature": 0.1,
             "lsd_steps": 2, "eos_threshold": -2.0})
-        return resp.status
+        # the library spelling is accepted as an alias for the reference
+        # API's "lsd_steps" (handlers.rs:89)
+        resp2 = await c.post("/generate", json={
+            "text": "Alias spelling please.", "lsd_decode_steps": 2})
+        return resp.status, resp2.status
 
-    assert loop.run_until_complete(go()) == 200
+    assert loop.run_until_complete(go()) == (200, 200)
 
 
 class TestCLI:
