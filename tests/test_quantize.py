@@ -94,3 +94,30 @@ def test_snr_report():
     assert any("ff1" in k for k in snrs)
     # symmetric per-channel int8 on well-scaled weights: high SNR everywhere
     assert min(snrs.values()) > 25.0, snrs
+
+
+def test_quantized_model_batched():
+    """int8 weights must flow through the continuous batcher (QTensor pytrees
+    in the resident batched decode program) and match the quantized
+    single-stream output at temp=0."""
+    from tests.test_tts import CFG
+    from pocket_tts_tpu import weights
+    from pocket_tts_tpu.models.mimi import MimiPlans
+    from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
+    from pocket_tts_tpu.runtime.engine import GenParams
+    from pocket_tts_tpu.runtime.quantize import quantize_model
+    from pocket_tts_tpu.tts import TTSModel
+
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    model = TTSModel(CFG, params, gen=GenParams(temp=0.0), has_real_weights=False)
+    qmodel = quantize_model(model)
+    single = qmodel.generate_with_pauses("Quantized batching test.")
+    b = ContinuousBatcher(qmodel, batch_size=2, chunk_frames=4)
+    b.start()
+    try:
+        batched = b.generate("Quantized batching test.")
+    finally:
+        b.stop()
+    assert batched.shape == single.shape
+    np.testing.assert_allclose(batched, single, atol=1e-4)
