@@ -128,6 +128,19 @@ class ContinuousBatcher:
         self._thread: threading.Thread | None = None
         self._dead = False
         self._active: set[_Request] = set()  # requests not yet finished
+        # observability counters (written by the decode thread / submit)
+        self._stats = {"dispatches": 0, "frames_decoded": 0,
+                       "requests_completed": 0, "requests_submitted": 0}
+
+    def stats(self) -> dict:
+        """Snapshot of the decode loop's counters plus live queue depths."""
+        with self._lock:
+            return {**self._stats,
+                    "active_requests": len(self._active),
+                    "queued_segments": self._submit.qsize(),
+                    "batch_size": self.batch,
+                    "chunk_frames": self.chunk,
+                    "dead": self._dead}
 
     # -- public API ----------------------------------------------------------
 
@@ -198,6 +211,7 @@ class ContinuousBatcher:
                 seg.done = True
         with self._lock:
             self._active.add(req)
+            self._stats["requests_submitted"] += 1
             req.pump()
             if req.finished:  # e.g. pause-only request: done synchronously
                 self._active.discard(req)
@@ -347,6 +361,9 @@ class ContinuousBatcher:
                     clamp_vec=clamp)
             for s in active:
                 s.dispatched += self.chunk
+            with self._lock:
+                self._stats["dispatches"] += 1
+                self._stats["frames_decoded"] += self.chunk * len(active)
             pending.append(([s.segment for s in slots], audio, is_eos))
             while len(pending) > self.depth:
                 self._route(slots, *pending.pop(0), frame_size)
@@ -381,6 +398,7 @@ class ContinuousBatcher:
                 req.pump()
                 if req.finished:
                     self._active.discard(req)
+                    self._stats["requests_completed"] += 1
 
 
 def batched_tts(model: TTSModel, batch_size: int = 4,

@@ -81,12 +81,17 @@ def create_app(state: ServerState):
 
     @routes.get("/health")
     async def health(request):
-        return web.json_response({
+        out = {
             "status": "ok",
             "model": "pocket-tts-tpu",
             "uptime_s": round(time.time() - state.started_at, 1),
             "real_weights": state.model.has_real_weights,
-        })
+        }
+        if state.batcher is not None:
+            out["batcher"] = state.batcher.stats()
+            if out["batcher"].pop("dead"):
+                out["status"] = "degraded"  # decode loop crashed; fail-open
+        return web.json_response(out)
 
     async def _generate_wav(body: dict) -> bytes:
         model = state.model_with_overrides(body)

@@ -181,3 +181,14 @@ def test_window_bucket_crossing():
         assert corr > 0.98, corr
     finally:
         b.stop()
+
+
+def test_stats_counters(batcher):
+    """Observability snapshot: after the module's earlier generations the
+    counters must be live and the loop healthy."""
+    batcher.generate("One more for the counters.")
+    s = batcher.stats()
+    assert s["requests_completed"] >= 1
+    assert s["requests_submitted"] >= s["requests_completed"]
+    assert s["frames_decoded"] > 0 and s["dispatches"] > 0
+    assert s["active_requests"] == 0 and not s["dead"]
