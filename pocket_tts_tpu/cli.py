@@ -100,6 +100,14 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_fleet(args) -> int:
+    from pocket_tts_tpu.server.fleet import serve_fleet
+
+    urls = [u for part in args.workers for u in part.split(",") if u]
+    serve_fleet(urls, host=args.host, port=args.port)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("pocket-tts-tpu",
                                 description="TPU-native Pocket TTS")
@@ -128,6 +136,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1 enables continuous-batched serving")
     _add_gen_params(s)
     s.set_defaults(fn=cmd_serve)
+
+    f = sub.add_parser("fleet", help="route requests over N serve workers "
+                       "(one per chip)")
+    f.add_argument("--host", default="0.0.0.0")
+    f.add_argument("--port", type=int, default=8000)
+    f.add_argument("--workers", nargs="+", required=True,
+                   help="worker base URLs (space- or comma-separated)")
+    f.set_defaults(fn=cmd_fleet)
     return p
 
 
