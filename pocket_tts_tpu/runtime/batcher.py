@@ -215,6 +215,7 @@ class ContinuousBatcher:
             req.pump()
             if req.finished:  # e.g. pause-only request: done synchronously
                 self._active.discard(req)
+                self._stats["requests_completed"] += 1
                 return req.out
         # enqueue only after registration so a crash can always fail us open
         for seg in req.segments:

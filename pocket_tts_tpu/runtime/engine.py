@@ -418,6 +418,10 @@ class Engine:
         # still squeezes generation below the text-derived budget
         reserve = max(self._rcfg.text_buckets) + 192
         max_frames = self._rcfg.max_seq - reserve
+        if max_frames <= 0:
+            raise ValueError(
+                f"max_seq={self._rcfg.max_seq} leaves no room for voice "
+                f"prompts after the generation reserve ({reserve} frames)")
         if audio.shape[-1] > max_frames * self.frame_size:
             logger.warning(
                 "voice prompt %0.1f s exceeds the cache budget (%d frames); "

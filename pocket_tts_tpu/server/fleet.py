@@ -58,8 +58,13 @@ class FleetState:
         import aiohttp
 
         if self._session is None:
+            # sock_read bounds the gap between received bytes: generous enough
+            # for a whole non-streaming /generate of a long text, but converts
+            # a hung (accepted-then-deadlocked) worker into a clean fail-over
+            # instead of wedging the client forever
             self._session = aiohttp.ClientSession(
-                timeout=aiohttp.ClientTimeout(total=None, sock_connect=10))
+                timeout=aiohttp.ClientTimeout(total=None, sock_connect=10,
+                                              sock_read=300))
         return self._session
 
     def ranked(self) -> list[Worker]:
@@ -87,8 +92,10 @@ def create_router_app(state: FleetState):
             try:
                 async with sess.get(w.url + "/health") as r:
                     body = await r.json()
-                    w.healthy = r.status == 200
-                    w.last_error = None
+                    # a worker whose batcher crashed answers 200 with
+                    # status "degraded" (fail-open) — do NOT route to it
+                    w.healthy = r.status == 200 and body.get("status") == "ok"
+                    w.last_error = None if w.healthy else body.get("status")
                     return {"url": w.url, "outstanding": w.outstanding,
                             **body}
             except Exception as e:  # noqa: BLE001
@@ -114,7 +121,10 @@ def create_router_app(state: FleetState):
         last_exc: Exception | None = None
         for w in candidates:
             w.outstanding += 1
-            sent_bytes = False
+            # Fail-over is legal only BEFORE resp.prepare(): once the status
+            # line/headers have gone to the client, retrying would write a
+            # second header block into the half-sent response.
+            prepared = False
             try:
                 async with sess.post(
                     w.url + request.path, data=body,
@@ -135,21 +145,32 @@ def create_router_app(state: FleetState):
                         headers={"Content-Type":
                                  upstream.headers.get("Content-Type",
                                                       "application/octet-stream")})
-                    await resp.prepare(request)
-                    async for chunk in upstream.content.iter_chunked(64 * 1024):
-                        sent_bytes = True
-                        await resp.write(chunk)
-                    await resp.write_eof()
-                    return resp
+                    while True:
+                        # read upstream FIRST: upstream errors here are still
+                        # fail-over-eligible until prepare() below runs
+                        chunk = await upstream.content.readany()
+                        try:
+                            if not prepared:
+                                await resp.prepare(request)
+                                prepared = True
+                            if not chunk:
+                                await resp.write_eof()
+                                return resp
+                            await resp.write(chunk)
+                        except Exception as e:  # noqa: BLE001
+                            # CLIENT-side failure (disconnect/abort): the
+                            # worker is fine — do not mark it unhealthy, do
+                            # not fail over, just stop forwarding
+                            logger.info("client gone during %s via %s: %s",
+                                        request.path, w.url, e)
+                            return resp
             except Exception as e:  # noqa: BLE001
                 w.healthy = False
                 w.last_error = str(e)
                 last_exc = e
-                if sent_bytes:
+                if prepared:
                     logger.warning("worker %s died mid-stream: %s", w.url, e)
-                    raise web.HTTPBadGateway(
-                        text=json.dumps({"error": f"worker died mid-stream: {e}"}),
-                        content_type="application/json")
+                    raise  # response already started; nothing to fail over to
                 logger.warning("worker %s failed pre-stream (%s); failing over",
                                w.url, e)
             finally:

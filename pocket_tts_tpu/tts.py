@@ -366,6 +366,10 @@ class _SegmentRun:
         if self.eos_step is None:
             import os
 
+            # the K-prefixed spelling is NOT a typo here: the reference checks
+            # exactly that variable (python-reference tts_model.py:540), so
+            # scripts written against it keep working; the sane spelling is
+            # honored too
             if (os.environ.get("POCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1"
                     or os.environ.get("KPOCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1"):
                 raise RuntimeError(

@@ -114,3 +114,43 @@ def test_fleet_all_dead_503():
     finally:
         loop.run_until_complete(client.close())
         loop.close()
+
+
+def test_fleet_degraded_worker_not_marked_healthy(model):
+    """A worker that answers 200 {"status": "degraded"} (fail-open after a
+    batcher crash) must not be resurrected into the healthy routing set by
+    the health probe."""
+    loop = asyncio.new_event_loop()
+
+    async def degraded_health(request):
+        return web.json_response({"status": "degraded"})
+
+    stub = web.Application()
+    stub.router.add_get("/health", degraded_health)
+    stub_srv = TestServer(stub)
+    loop.run_until_complete(stub_srv.start_server())
+
+    real_srv = TestServer(create_app(ServerState(model)))
+    loop.run_until_complete(real_srv.start_server())
+
+    state = FleetState([str(stub_srv.make_url("/"))[:-1],
+                        str(real_srv.make_url("/"))[:-1]])
+    client = TestClient(TestServer(create_router_app(state)), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def go():
+            h = await client.get("/health")
+            body = await h.json()
+            g = await client.post("/generate", json={"text": "Degraded test."})
+            return body, g.status
+
+        body, status = loop.run_until_complete(go())
+        assert body["workers_ok"] == 1
+        assert not state.workers[0].healthy  # degraded stub stays unhealthy
+        assert state.workers[1].healthy
+        assert status == 200
+    finally:
+        loop.run_until_complete(client.close())
+        loop.run_until_complete(stub_srv.close())
+        loop.run_until_complete(real_srv.close())
+        loop.close()
