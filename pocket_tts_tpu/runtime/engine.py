@@ -467,14 +467,28 @@ class Engine:
 
     # -- generation-side helpers -------------------------------------------
 
-    def chunk_schedule(self, max_frames: int) -> list[int]:
-        """Warm-up chunks from config, then the largest chunk until the frame
-        budget is covered (the tail may overshoot; the host truncates)."""
+    def chunk_schedule(self, max_frames: int,
+                       low_latency: bool = True) -> list[int]:
+        """Decode chunk sizes covering ``max_frames`` (tail may overshoot; the
+        host truncates).  Every size comes from the compiled-variant set
+        (config decode_chunks).
+
+        ``low_latency=True`` (streaming): warm-up ramp for fast first audio,
+        then the largest chunk.  ``False`` (whole-utterance generate): largest
+        chunk from the start, tail right-sized to the smallest variant that
+        covers the remainder — the ramp's small chunks each cost ~10 ms of
+        fixed device work, pure waste when nobody hears audio early.  The
+        per-frame RNG key chain advances one split per frame regardless of
+        chunking, so the schedule does not change the audio."""
         schedule = list(self._rcfg.decode_chunks)
         out, total = [], 0
-        i = 0
+        i = len(schedule) - 1 if not low_latency else 0
         while total < max_frames:
             c = schedule[min(i, len(schedule) - 1)]
+            remaining = max_frames - total
+            if c > remaining:
+                # smallest compiled chunk covering the tail (less overshoot)
+                c = next(s for s in schedule if s >= remaining)
             out.append(c)
             total += c
             i += 1

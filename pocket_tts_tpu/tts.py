@@ -202,27 +202,34 @@ class TTSModel:
 
         ``frames_after_eos``: extra frames after EOS detection; None derives it
         from the text length (1-3 frames + 2, reference tts_model.py:326-330)."""
-        chunks = list(self.generate_stream(text, voice_state, frames_after_eos))
+        chunks = list(self.generate_stream(text, voice_state, frames_after_eos,
+                                           low_latency=False))
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
     def generate_stream(self, text: str, voice_state: VoiceState | None = None,
-                        frames_after_eos: int | None = None
-                        ) -> Iterator[np.ndarray]:
+                        frames_after_eos: int | None = None, *,
+                        low_latency: bool = True) -> Iterator[np.ndarray]:
         """Stream audio chunks.  Text is split into <=50-token sentence chunks;
-        each restarts from the voice state (tts_model.py:396-411)."""
+        each restarts from the voice state (tts_model.py:396-411).
+
+        ``low_latency=False`` (used by the whole-utterance ``generate`` /
+        ``generate_with_pauses``) skips the warm-up chunk ramp for ~25% more
+        throughput; the audio is identical either way."""
         if voice_state is None:
             voice_state = self.get_voice_state()
         chunks = text_mod.split_into_best_sentences(self.tokenizer, text)
-        yield from self._run_segments(chunks, voice_state, frames_after_eos)
+        yield from self._run_segments(chunks, voice_state, frames_after_eos,
+                                      low_latency)
 
     def generate_with_pauses(self, text: str,
                              voice_state: VoiceState | None = None) -> np.ndarray:
-        chunks = list(self.generate_stream_long(text, voice_state))
+        chunks = list(self.generate_stream_long(text, voice_state,
+                                                low_latency=False))
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
     def generate_stream_long(self, text: str, voice_state: VoiceState | None = None,
-                             frames_after_eos: int | None = None
-                             ) -> Iterator[np.ndarray]:
+                             frames_after_eos: int | None = None, *,
+                             low_latency: bool = True) -> Iterator[np.ndarray]:
         """Pause-aware streaming: interleaves synthesized text segments with
         silence for ``[pause:Xms]`` / natural pauses (tts_model.rs:1074-1127)."""
         if voice_state is None:
@@ -233,12 +240,14 @@ class TTSModel:
                 yield np.zeros(n, np.float32)
             else:
                 yield from self.generate_stream(seg.text, voice_state,
-                                                frames_after_eos)
+                                                frames_after_eos,
+                                                low_latency=low_latency)
 
     # -- internals -------------------------------------------------------------
 
     def _run_segments(self, texts: list[str], voice_state: VoiceState,
-                      frames_after_eos: int | None) -> Iterator[np.ndarray]:
+                      frames_after_eos: int | None,
+                      low_latency: bool = True) -> Iterator[np.ndarray]:
         """Drive the segments with CROSS-segment pipelining.
 
         Segments are independent (each resets from the voice state), so the
@@ -268,7 +277,7 @@ class TTSModel:
                     continue
                 if queue and len(active) < MAX_ACTIVE:
                     active.append(_SegmentRun(self, queue.pop(0), voice_state,
-                                              frames_after_eos))
+                                              frames_after_eos, low_latency))
                     continue
                 break
             if not active:
@@ -293,7 +302,8 @@ class _SegmentRun:
     """
 
     def __init__(self, model: TTSModel, chunk_text: str,
-                 voice_state: VoiceState, frames_after_eos: int | None):
+                 voice_state: VoiceState, frames_after_eos: int | None,
+                 low_latency: bool = True):
         self.model = model
         self.t_start = time.monotonic()
         prepared, fae_guess = text_mod.prepare_text_prompt(chunk_text)
@@ -315,7 +325,8 @@ class _SegmentRun:
         state = eng.reset_for_segment(voice_state.as_dict())
         self.state = eng.prefill_tokens(state, tokens, n_tokens)
         model._rng["key"], self.key = jax.random.split(model._rng["key"])
-        self._schedule = iter(eng.chunk_schedule(self.max_frames))
+        self._schedule = iter(eng.chunk_schedule(self.max_frames,
+                                                 low_latency=low_latency))
         self._next_k = next(self._schedule, None) if self.max_frames else None
         self.base_pos = voice_state.length + n_tokens
         self.issued = 0
