@@ -175,3 +175,19 @@ def test_long_voice_prompt_streams_untruncated(model):
     np.testing.assert_allclose(np.asarray(vs.pos), np.asarray(vs_one.pos))
     np.testing.assert_allclose(np.asarray(vs.kc), np.asarray(vs_one.kc),
                                atol=2e-4)
+
+
+def test_chunk_schedule_shapes(model):
+    """Streaming keeps the warm-up ramp; whole-utterance starts at the largest
+    chunk; both right-size the tail to a compiled variant and cover the
+    budget."""
+    eng = model.engine
+    chunks = eng._rcfg.decode_chunks  # (2, 4, 8) in the test config
+    ramp = eng.chunk_schedule(20, low_latency=True)
+    thr = eng.chunk_schedule(20, low_latency=False)
+    assert ramp[0] == chunks[0] and thr[0] == chunks[-1]
+    assert sum(ramp) >= 20 and sum(thr) >= 20
+    assert set(ramp) <= set(chunks) and set(thr) <= set(chunks)
+    # tail right-sizing: overshoot is bounded by the tail chunk's size
+    assert sum(thr) - 20 < chunks[-1]
+    assert eng.chunk_schedule(1, low_latency=False) == [chunks[0]]
