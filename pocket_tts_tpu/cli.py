@@ -100,6 +100,23 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_quantize(args) -> int:
+    """Quantize the checkpoint to int8 and write a standalone artifact
+    (~4x smaller, loadable with TTSModel.load_quantized)."""
+    from pocket_tts_tpu.runtime.quantize import (
+        quantize_model, save_quantized, snr_report)
+
+    args.quantized = False  # always start from the full-precision checkpoint
+    model = _load_model(args)
+    qmodel = quantize_model(model)
+    snrs = snr_report(model.params, qmodel.params)
+    save_quantized(qmodel.params, args.output)
+    print(f"wrote {args.output}: {len(snrs)} int8 tensors, "
+          f"SNR dB min {min(snrs.values()):.1f} mean "
+          f"{sum(snrs.values())/len(snrs):.1f}", file=sys.stderr)
+    return 0
+
+
 def cmd_fleet(args) -> int:
     from pocket_tts_tpu.server.fleet import serve_fleet
 
@@ -136,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1 enables continuous-batched serving")
     _add_gen_params(s)
     s.set_defaults(fn=cmd_serve)
+
+    q = sub.add_parser("quantize", help="write a real int8 checkpoint artifact")
+    q.add_argument("--output", "-o", default="model.int8.safetensors")
+    _add_gen_params(q)
+    q.set_defaults(fn=cmd_quantize)
 
     f = sub.add_parser("fleet", help="route requests over N serve workers "
                        "(one per chip)")

@@ -55,6 +55,89 @@ def snr_report(params: dict, qparams: dict) -> dict[str, float]:
     return dict(zip(names, [float(v) for v in jax.device_get(vals)]))
 
 
+def _flatten_paths(params: dict) -> list[tuple[str, object]]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=lambda x: isinstance(x, QTensor))
+    out = []
+    for path, leaf in flat:
+        parts = []
+        for k in path:
+            parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+        out.append(("/".join(parts), leaf))
+    return out
+
+
+def _unflatten_paths(items: dict[str, object]) -> dict:
+    """Rebuild the nested params tree from path/leaf pairs; integer path
+    segments become list indices (the SEANet param lists)."""
+    root: dict = {}
+    for path, leaf in items.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            # index gaps are parameterless layers (SEANet ELU entries hold {}
+            # and vanish from the flattened path list); both plan kinds end
+            # with a conv, so the max index bounds the list
+            top = max(int(k) for k in node)
+            return [node.get(str(i), {}) for i in range(top + 1)]
+        return node
+
+    return listify(root)
+
+
+def save_quantized(params: dict, path) -> None:
+    """Persist an int8-quantized param tree as safetensors: QTensor leaves
+    store ``<path>.q`` (int8) + ``<path>.scale``; plain leaves store as-is.
+
+    The reference's quantized checkpoint path is a placeholder that loads
+    fp32 (tts_model.rs:122-179); this is the real artifact — ~4x smaller than
+    the f32 checkpoint and loadable straight into serving via
+    :func:`load_quantized`."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    tensors = {}
+    for name, leaf in _flatten_paths(params):
+        if isinstance(leaf, QTensor):
+            tensors[name + ".q"] = np.asarray(leaf.q)
+            tensors[name + ".scale"] = np.asarray(leaf.scale, np.float32)
+        else:
+            tensors[name] = np.asarray(leaf, np.float32)
+    save_file(tensors, str(path), metadata={"format": "pocket-tts-tpu-int8"})
+
+
+def load_quantized(path) -> dict:
+    """Load a :func:`save_quantized` artifact back into a params pytree."""
+    import jax.numpy as jnp
+    from safetensors import safe_open
+
+    items: dict[str, object] = {}
+    qparts: dict[str, dict] = {}
+    with safe_open(str(path), framework="numpy") as f:
+        meta = f.metadata() or {}
+        if meta.get("format") != "pocket-tts-tpu-int8":
+            raise ValueError(f"{path} is not a pocket-tts-tpu int8 checkpoint")
+        for key in f.keys():
+            t = f.get_tensor(key)
+            if key.endswith(".q") or key.endswith(".scale"):
+                base, kind = key.rsplit(".", 1)
+                qparts.setdefault(base, {})[kind] = t
+            else:
+                items[key] = jnp.asarray(t)
+    for base, parts in qparts.items():
+        items[base] = QTensor(jnp.asarray(parts["q"]),
+                              jnp.asarray(parts["scale"]))
+    return _unflatten_paths(items)
+
+
 def quantize_model(model: TTSModel) -> TTSModel:
     """Return a clone of ``model`` running on int8 weights."""
     qparams = quantize_params(model.params)

@@ -114,6 +114,26 @@ class TTSModel:
                                     "eos_threshold")})
         return cls(cfg, params, gen=gen, has_real_weights=True)
 
+    @classmethod
+    def load_quantized(cls, path: str | Path,
+                       variant: str = DEFAULT_VARIANT, **kwargs) -> "TTSModel":
+        """Load a real int8 checkpoint (runtime.quantize.save_quantized).
+
+        The reference's ``load_quantized`` is a placeholder that loads fp32
+        (tts_model.rs:122-179, is_quantized() returns false); here the weights
+        are genuinely int8-in-HBM."""
+        from pocket_tts_tpu.runtime.quantize import load_quantized
+
+        cfg = load_variant(variant)
+        params = load_quantized(path)
+        gen = GenParams(**{k: v for k, v in kwargs.items()
+                           if k in ("temp", "lsd_decode_steps", "noise_clamp",
+                                    "eos_threshold")})
+        model = cls(cfg, params, gen=gen, has_real_weights=True,
+                    seed=kwargs.get("seed", 0))
+        model.is_quantized = True
+        return model
+
     def with_params(self, **overrides) -> "TTSModel":
         """Cheap per-request override clone (shares params/engine;
         reference: handlers.rs:147-160)."""

@@ -121,3 +121,68 @@ def test_quantized_model_batched():
         b.stop()
     assert batched.shape == single.shape
     np.testing.assert_allclose(batched, single, atol=1e-4)
+
+
+def test_int8_checkpoint_roundtrip(tmp_path):
+    """save_quantized -> load_quantized must reproduce the exact pytree
+    (int8 values and scales bit-exact, plain leaves f32-exact), the artifact
+    must be substantially smaller than f32, and a model loaded from it must
+    generate the same audio as the in-memory quantized model at temp=0."""
+    import os
+
+    from tests.test_tts import CFG
+    from pocket_tts_tpu import weights
+    from pocket_tts_tpu.models.mimi import MimiPlans
+    from pocket_tts_tpu.runtime.engine import GenParams
+    from pocket_tts_tpu.runtime.quantize import (
+        load_quantized, quantize_model, quantize_params, save_quantized)
+    from pocket_tts_tpu.tts import TTSModel
+
+    params = weights.random_params(CFG, MimiPlans(CFG.mimi), seed=3)
+    qparams = quantize_params(params)
+    path = tmp_path / "model.int8.safetensors"
+    save_quantized(qparams, path)
+
+    loaded = load_quantized(path)
+    flat_a = jax.tree_util.tree_leaves(
+        qparams, is_leaf=lambda x: isinstance(x, QTensor))
+    flat_b = jax.tree_util.tree_leaves(
+        loaded, is_leaf=lambda x: isinstance(x, QTensor))
+    assert len(flat_a) == len(flat_b)
+    n_q = 0
+    for a, b in zip(flat_a, flat_b):
+        if isinstance(a, QTensor):
+            assert isinstance(b, QTensor)
+            np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+            np.testing.assert_array_equal(np.asarray(a.scale),
+                                          np.asarray(b.scale))
+            n_q += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b))
+    assert n_q > 5
+
+    f32_bytes = sum(x.size * 4 for x in jax.tree_util.tree_leaves(params))
+    # each quantized leaf drops from 4 bytes/elem to 1 (+small scale vector)
+    saved = sum(a.q.size * 3 for a in flat_a if isinstance(a, QTensor))
+    assert os.path.getsize(path) < f32_bytes - 0.9 * saved
+
+    model = TTSModel(CFG, params, gen=GenParams(temp=0.0),
+                     has_real_weights=False)
+    qmodel = quantize_model(model)
+    loaded_model = TTSModel(CFG, loaded, gen=GenParams(temp=0.0),
+                            has_real_weights=True)
+    a = qmodel.generate("Checkpoint roundtrip speech.")
+    b = loaded_model.generate("Checkpoint roundtrip speech.")
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_load_quantized_rejects_plain_safetensors(tmp_path):
+    from safetensors.numpy import save_file
+
+    from pocket_tts_tpu.runtime.quantize import load_quantized
+
+    p = tmp_path / "plain.safetensors"
+    save_file({"w": np.zeros((4, 4), np.float32)}, str(p))
+    with pytest.raises(ValueError, match="int8 checkpoint"):
+        load_quantized(p)
