@@ -191,3 +191,20 @@ def test_chunk_schedule_shapes(model):
     # tail right-sizing: overshoot is bounded by the tail chunk's size
     assert sum(thr) - 20 < chunks[-1]
     assert eng.chunk_schedule(1, low_latency=False) == [chunks[0]]
+
+
+def test_many_segment_pipelined_ordering(model):
+    """Cross-segment pipelining (2-segment lookahead) must emit segments in
+    order and match per-segment sequential generation exactly at temp=0,
+    even with more segments than the lookahead window."""
+    from pocket_tts_tpu import text as text_mod
+
+    sent = "Another reasonably sized sentence for the ordering check. "
+    text = sent * 10  # > 50-token chunks => 4 segments (> lookahead of 2)
+    parts = text_mod.split_into_best_sentences(model.tokenizer, text)
+    assert len(parts) >= 3
+    vs = model.get_voice_state()
+    want = np.concatenate([model.generate(p, vs) for p in parts])
+    got = model.generate(text, vs)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
