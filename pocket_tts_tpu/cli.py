@@ -55,8 +55,10 @@ def cmd_generate(args) -> int:
                   "using unconditioned state", file=sys.stderr)
 
     fae = getattr(args, "frames_after_eos", None)
+    cont = getattr(args, "continuation", 0) or 0
     if args.stream:
-        for chunk in model.generate_stream_long(args.text, voice, fae):
+        for chunk in model.generate_stream_long(args.text, voice, fae,
+                                                continuation_frames=cont):
             sys.stdout.buffer.write(audio_io.pcm_i16_le_bytes(chunk))
             sys.stdout.buffer.flush()
         return 0
@@ -65,7 +67,8 @@ def cmd_generate(args) -> int:
     t0 = time.time()
     chunks = []
     done_frames = 0
-    for chunk in model.generate_stream_long(args.text, voice, fae):
+    for chunk in model.generate_stream_long(args.text, voice, fae,
+                                            continuation_frames=cont):
         chunks.append(chunk)
         done_frames += len(chunk) // model.frame_size
         if not args.quiet:
@@ -138,6 +141,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--stream", action="store_true",
                    help="write raw s16le PCM to stdout")
     g.add_argument("--quiet", "-q", action="store_true")
+    g.add_argument("--continuation", type=int, nargs="?", const=120, default=0,
+                   metavar="FRAMES",
+                   help="teacher-forced segment continuation: condition each "
+                        "segment on the last FRAMES (default 120 = 9.6s) of "
+                        "generated audio for cross-segment prosody")
     _add_gen_params(g)
     g.set_defaults(fn=cmd_generate)
 

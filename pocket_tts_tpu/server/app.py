@@ -4,7 +4,8 @@ Route surface mirrors the reference (crates/pocket-tts-cli/src/server/routes.rs:
 
   GET  /health            -> {"status": "ok", ...}
   POST /generate          -> whole WAV     {text, voice?, temperature?, lsd_steps?,
-                                            eos_threshold?, noise_clamp?}
+                                            eos_threshold?, noise_clamp?,
+                                            continuation_frames?}
   POST /stream            -> chunked raw s16le PCM (same body)
   POST /tts               -> multipart (text, voice_url | voice_wav) -> WAV
   POST /v1/audio/speech   -> OpenAI-compatible {model, input, voice} -> WAV
@@ -104,16 +105,21 @@ def create_app(state: ServerState):
         # never on the event loop
         voice = await loop.run_in_executor(
             state.pool, state.resolve, body.get("voice"))
-        if state.batcher is not None:
+        cont = int(body.get("continuation_frames") or 0)
+        if state.batcher is not None and cont <= 0:
             # per-request lsd_decode_steps / noise_clamp ride the batch as
             # per-slot data (engine lsd_vec/clamp_vec) — no single-flight path
             wav = await loop.run_in_executor(
                 state.pool, lambda: state.batcher.generate(
                     str(text), voice, model.gen))
         else:
+            # continuation requests serialize: each segment's conditioning
+            # depends on the previous segment's fetched audio, which cannot
+            # ride the batch as per-slot data
             async with state.lock:
                 wav = await loop.run_in_executor(
-                    state.pool, lambda: model.generate_with_pauses(str(text), voice))
+                    state.pool, lambda: model.generate_with_pauses(
+                        str(text), voice, continuation_frames=cont))
         return audio_io.wav_bytes(wav, model.sample_rate)
 
     @routes.post("/generate")
@@ -159,12 +165,15 @@ def create_app(state: ServerState):
             fut.cancel()
             return False
 
+        cont = int(body.get("continuation_frames") or 0)
+
         def producer():
             try:
-                if state.batcher is not None:
+                if state.batcher is not None and cont <= 0:
                     source = state.batcher.stream(str(text), voice, model.gen)
                 else:
-                    source = model.generate_stream_long(str(text), voice)
+                    source = model.generate_stream_long(
+                        str(text), voice, continuation_frames=cont)
                 for chunk in source:
                     if not put(audio_io.pcm_i16_le_bytes(chunk)):
                         logger.info("stream client gone; aborting generation")
@@ -176,8 +185,8 @@ def create_app(state: ServerState):
 
         import contextlib
 
-        ctx = (contextlib.nullcontext() if state.batcher is not None
-               else state.lock)
+        ctx = (contextlib.nullcontext()
+               if state.batcher is not None and cont <= 0 else state.lock)
         async with ctx:
             task = loop.run_in_executor(state.pool, producer)
             try:

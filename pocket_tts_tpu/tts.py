@@ -197,8 +197,12 @@ class TTSModel:
         save_file({"audio_prompt": np.asarray(cond[:, :n_frames], np.float32)},
                   str(path))
 
-    def _prefill_voice(self, cond, n_frames: int) -> VoiceState:
-        st = self.engine.new_state()
+    def _prefill_voice(self, cond, n_frames: int,
+                       base: VoiceState | None = None) -> VoiceState:
+        # prefill only reads/updates kc/vc/pos, so a base snapshot's dict is a
+        # sufficient starting state (no fresh cache allocation needed)
+        st = self.engine.new_state() if base is None else dict(base.as_dict())
+        base_len = 0 if base is None else base.length
         # conditioning longer than the largest prompt bucket prefills in
         # bucket-sized pieces — positions continue from the cache cursor, so
         # chunked prefill equals one-shot prefill
@@ -208,7 +212,35 @@ class TTSModel:
             n = min(max_bucket, n_frames - off)
             st = self.engine.prefill_conditioning(st, cond[:, off:off + n], n)
             off += n
-        return VoiceState(st["kc"], st["vc"], st["pos"], n_frames)
+        return VoiceState(st["kc"], st["vc"], st["pos"], base_len + n_frames)
+
+    def extend_voice_state(self, voice_state: VoiceState,
+                           wav: np.ndarray) -> VoiceState:
+        """Append audio conditioning on top of an existing voice state.
+
+        Encodes ``wav`` (24 kHz mono) through the Mimi encoder + speaker
+        projection and prefills it AFTER the snapshot's existing cache
+        content, as if the voice prompt had been that much longer.  Used by
+        teacher-forced segment continuation (the reference lists this as its
+        own TODO, python-reference tts_model.py:399-400); also public — e.g.
+        to refine a voice with additional prompt audio.
+
+        Conditioning that would squeeze generation below the cache reserve is
+        clipped to its most recent frames (or skipped entirely when the base
+        state already fills the budget)."""
+        cond, n_frames = self.engine.encode_voice(wav)
+        rcfg = self.engine._rcfg
+        reserve = max(rcfg.text_buckets) + 192
+        room = rcfg.max_seq - reserve - voice_state.length
+        if room <= 0:
+            logger.warning(
+                "voice state (%d frames) already fills the cache budget; "
+                "skipping continuation conditioning", voice_state.length)
+            return voice_state
+        if n_frames > room:
+            cond = cond[:, n_frames - room:]
+            n_frames = room
+        return self._prefill_voice(cond, n_frames, base=voice_state)
 
     # -- generation ----------------------------------------------------------
 
@@ -217,39 +249,59 @@ class TTSModel:
         return text_mod.max_generation_frames(prepared)
 
     def generate(self, text: str, voice_state: VoiceState | None = None,
-                 frames_after_eos: int | None = None) -> np.ndarray:
+                 frames_after_eos: int | None = None, *,
+                 continuation_frames: int = 0) -> np.ndarray:
         """Synthesize ``text`` -> float32 waveform [samples] @ 24 kHz.
 
         ``frames_after_eos``: extra frames after EOS detection; None derives it
         from the text length (1-3 frames + 2, reference tts_model.py:326-330)."""
-        chunks = list(self.generate_stream(text, voice_state, frames_after_eos,
-                                           low_latency=False))
+        chunks = list(self.generate_stream(
+            text, voice_state, frames_after_eos, low_latency=False,
+            continuation_frames=continuation_frames))
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
     def generate_stream(self, text: str, voice_state: VoiceState | None = None,
                         frames_after_eos: int | None = None, *,
-                        low_latency: bool = True) -> Iterator[np.ndarray]:
+                        low_latency: bool = True,
+                        continuation_frames: int = 0) -> Iterator[np.ndarray]:
         """Stream audio chunks.  Text is split into <=50-token sentence chunks;
         each restarts from the voice state (tts_model.py:396-411).
 
         ``low_latency=False`` (used by the whole-utterance ``generate`` /
         ``generate_with_pauses``) skips the warm-up chunk ramp for ~25% more
-        throughput; the audio is identical either way."""
+        throughput; the audio is identical either way.
+
+        ``continuation_frames`` > 0 enables teacher-forced continuation: each
+        segment after the first is conditioned on the last N generated audio
+        frames (re-encoded through the Mimi encoder on top of the voice
+        state), so prosody carries across segment boundaries instead of
+        resetting.  The reference lists this as its own TODO
+        (tts_model.py:399-400).  Costs one voice-encode per segment and
+        disables cross-segment pipelining (each segment's conditioning
+        depends on the previous segment's audio)."""
         if voice_state is None:
             voice_state = self.get_voice_state()
         chunks = text_mod.split_into_best_sentences(self.tokenizer, text)
-        yield from self._run_segments(chunks, voice_state, frames_after_eos,
-                                      low_latency)
+        if continuation_frames > 0 and len(chunks) > 1:
+            yield from self._run_segments_continuation(
+                chunks, voice_state, frames_after_eos, low_latency,
+                continuation_frames)
+        else:
+            yield from self._run_segments(chunks, voice_state, frames_after_eos,
+                                          low_latency)
 
     def generate_with_pauses(self, text: str,
-                             voice_state: VoiceState | None = None) -> np.ndarray:
-        chunks = list(self.generate_stream_long(text, voice_state,
-                                                low_latency=False))
+                             voice_state: VoiceState | None = None, *,
+                             continuation_frames: int = 0) -> np.ndarray:
+        chunks = list(self.generate_stream_long(
+            text, voice_state, low_latency=False,
+            continuation_frames=continuation_frames))
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
     def generate_stream_long(self, text: str, voice_state: VoiceState | None = None,
                              frames_after_eos: int | None = None, *,
-                             low_latency: bool = True) -> Iterator[np.ndarray]:
+                             low_latency: bool = True,
+                             continuation_frames: int = 0) -> Iterator[np.ndarray]:
         """Pause-aware streaming: interleaves synthesized text segments with
         silence for ``[pause:Xms]`` / natural pauses (tts_model.rs:1074-1127)."""
         if voice_state is None:
@@ -259,9 +311,10 @@ class TTSModel:
                 n = pause_mod.silence_samples(seg.duration_ms, self.sample_rate)
                 yield np.zeros(n, np.float32)
             else:
-                yield from self.generate_stream(seg.text, voice_state,
-                                                frames_after_eos,
-                                                low_latency=low_latency)
+                yield from self.generate_stream(
+                    seg.text, voice_state, frames_after_eos,
+                    low_latency=low_latency,
+                    continuation_frames=continuation_frames)
 
     # -- internals -------------------------------------------------------------
 
@@ -311,6 +364,31 @@ class TTSModel:
             if head.done or (not head.pending and not head.dispatchable):
                 head.finish()
                 active.pop(0)
+
+    def _run_segments_continuation(self, texts: list[str],
+                                   voice_state: VoiceState,
+                                   frames_after_eos: int | None,
+                                   low_latency: bool,
+                                   continuation_frames: int) -> Iterator[np.ndarray]:
+        """Teacher-forced variant of _run_segments: segment N+1 is conditioned
+        on the tail of the audio generated so far.
+
+        Each segment extends the ORIGINAL voice state (never a chained
+        extension), so cache use stays bounded at
+        voice + continuation_frames + text + generation regardless of how many
+        segments the utterance has.  Segments run serially — the conditioning
+        data dependency removes the cross-segment pipelining of
+        _run_segments, trading ~5-10%% throughput for prosodic continuity.
+        """
+        tail_cap = continuation_frames * self.frame_size
+        tail = np.zeros(0, np.float32)
+        for text in texts:
+            vs = (self.extend_voice_state(voice_state, tail) if tail.size
+                  else voice_state)
+            for out in self._run_segments([text], vs, frames_after_eos,
+                                          low_latency):
+                tail = np.concatenate([tail, out])[-tail_cap:]
+                yield out
 
 
 class _SegmentRun:

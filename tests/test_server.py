@@ -163,3 +163,25 @@ class TestCLI:
         assert rc == 0
         data = capfdbinary.readouterr().out
         assert len(data) > 0 and len(data) % 2 == 0
+
+
+def test_generate_continuation_param(client):
+    """continuation_frames is accepted over HTTP and changes the audio of a
+    multi-segment utterance (teacher-forced continuation)."""
+    c, loop = client
+    text = ("The first sentence sets the voice in motion and keeps a steady "
+            "measured pace through every single word of this opening line. "
+            "The second sentence should carry that same voice onward without "
+            "resetting the established prosody at the segment boundary here.")
+
+    async def go(body):
+        resp = await c.post("/generate", json=body)
+        assert resp.status == 200
+        return await resp.read()
+
+    plain = loop.run_until_complete(go({"text": text}))
+    cont = loop.run_until_complete(go({"text": text,
+                                       "continuation_frames": 8}))
+    _check_wav(plain)
+    _check_wav(cont)
+    assert plain != cont

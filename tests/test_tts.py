@@ -208,3 +208,63 @@ def test_many_segment_pipelined_ordering(model):
     got = model.generate(text, vs)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_continuation_matches_manual_composition(model):
+    """generate(continuation_frames=W) == manually extending the voice state
+    with each segment's audio tail and generating the next segment from it
+    (temp=0 makes the RNG stream irrelevant)."""
+    from pocket_tts_tpu import text as text_mod
+
+    text = ("The first sentence sets the voice in motion and keeps a steady "
+            "measured pace through every single word of this opening line. "
+            "The second sentence should carry that same voice onward without "
+            "resetting the established prosody at the segment boundary here.")
+    segs = text_mod.split_into_best_sentences(model.tokenizer, text)
+    assert len(segs) == 2
+
+    W = 8  # continuation tail, frames
+    auto = model.generate(text, continuation_frames=W)
+
+    vs = model.get_voice_state()
+    a1 = np.concatenate(list(model._run_segments([segs[0]], vs, None, False)))
+    tail = a1[-W * model.frame_size:]
+    vs2 = model.extend_voice_state(vs, tail)
+    assert vs2.length == vs.length + len(tail) // model.frame_size
+    a2 = np.concatenate(list(model._run_segments([segs[1]], vs2, None, False)))
+    np.testing.assert_allclose(auto, np.concatenate([a1, a2]), atol=1e-5)
+
+    # the conditioning must actually change the second segment's audio
+    plain = model.generate(text)
+    assert (plain.shape != auto.shape
+            or not np.allclose(plain, auto, atol=1e-5))
+    # ...while the first segment (no conditioning yet) is identical
+    n = min(a1.size, plain.size)
+    np.testing.assert_allclose(plain[:n][: a1.size], a1[: n], atol=1e-5)
+
+
+def test_continuation_single_segment_is_plain_path(model):
+    wav = model.generate("Hello, world!", continuation_frames=16)
+    plain = model.generate("Hello, world!")
+    np.testing.assert_allclose(wav, plain, atol=1e-5)
+
+
+def test_extend_voice_state_respects_cache_budget(model):
+    """Extension clips conditioning to the cache reserve and becomes a no-op
+    once the budget is exhausted."""
+    rcfg = model.engine._rcfg
+    reserve = max(rcfg.text_buckets) + 192
+    room_total = rcfg.max_seq - reserve  # 256 with the test config
+
+    d_model = model.config.flow_lm.transformer.d_model
+    rng = np.random.default_rng(11)
+    prompt = rng.normal(size=(1, room_total - 6, d_model)).astype(np.float32)
+    vs = model.get_voice_state_from_prompt(prompt)
+    assert vs.length == room_total - 6
+
+    one_sec = (rng.normal(size=model.sample_rate) * 0.1).astype(np.float32)
+    vs2 = model.extend_voice_state(vs, one_sec)  # 13 frames, room for 6
+    assert vs2.length == room_total
+
+    vs3 = model.extend_voice_state(vs2, one_sec)  # no room left: unchanged
+    assert vs3 is vs2
