@@ -107,9 +107,11 @@ def main():
             return sum(r.size for r in results) / model.sample_rate, dt
 
         # warm-up must cover every window bucket the full text reaches —
-        # a short warm-up leaves cold compiles inside the timed run
+        # a short warm-up leaves cold compiles inside the timed run.
+        # best-of-3: batched runs fetch ~53 MB through the tunnel and swing
+        # ~115-340x with transport weather (docs/performance.md variance note)
         run_all()
-        total, dt = min((run_all() for _ in range(2)), key=lambda r: r[1])
+        total, dt = min((run_all() for _ in range(3)), key=lambda r: r[1])
         print(f"batched B={NB}: {total:.1f}s audio in {dt:.2f}s -> aggregate "
               f"{total/dt:.1f}x realtime ({total/dt/NB:.1f}x per stream)",
               file=sys.stderr)
