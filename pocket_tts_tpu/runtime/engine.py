@@ -137,6 +137,15 @@ class Engine:
         self._new_state = jax.jit(self._new_state_impl, static_argnames=("batch",))
         self._reset = jax.jit(self._reset_impl, static_argnames=("batch",))
 
+        # Stage parallelism (opt-in): AR scan and Mimi codec on separate
+        # devices, overlapped by the host dispatch pipeline.
+        self._codec_device = None
+        import os
+
+        if (os.environ.get("POCKET_TTS_STAGE_CODEC", "0") == "1"
+                and batch_size == 1 and len(jax.devices()) > 1):
+            self.enable_staged_codec(jax.devices()[1])
+
     # -- state ------------------------------------------------------------
     # State creation runs jitted: on this machine every *eager* op round-trips
     # through the axon remote-compile tunnel (seconds each).
@@ -169,10 +178,16 @@ class Engine:
 
     def reset_for_segment(self, voice_state: dict, batch: int | None = None) -> dict:
         """Per-segment restart from a voice state: the FlowLM cache is the
-        (immutable) voice snapshot; latent and the Mimi decoder start fresh."""
-        return self._reset(self.params["flow_lm"], voice_state["kc"],
-                           voice_state["vc"], voice_state["pos"],
-                           batch=batch or self.batch)
+        (immutable) voice snapshot; latent and the Mimi decoder start fresh.
+        The jit pass-through copies kc/vc, so downstream decode donation never
+        invalidates the live voice snapshot."""
+        st = self._reset(self.params["flow_lm"], voice_state["kc"],
+                         voice_state["vc"], voice_state["pos"],
+                         batch=batch or self.batch)
+        if self._codec_device is not None:
+            # one transfer per segment: the codec stage owns the Mimi state
+            st["mimi"] = jax.device_put(st["mimi"], self._codec_device)
+        return st
 
     # -- slot admission (continuous batching) --------------------------------
 
@@ -251,15 +266,13 @@ class Engine:
 
     # -- decode -----------------------------------------------------------
 
-    def _decode_impl(self, params, state, key, gen, lsd_vec=None, *,
-                     n_frames: int, lsd_steps: int, clamped, window: int = 0):
-        """K frames per dispatch, in two stages:
+    def _ar_impl(self, params, state, key, gen, lsd_vec=None, *,
+                 n_frames: int, lsd_steps: int, clamped, window: int = 0):
+        """AR half of a decode chunk: ``lax.scan`` over the (inherently
+        sequential) FlowLM steps, collecting K latents and EOS logits.
 
-        1. ``lax.scan`` over the (inherently sequential) FlowLM AR steps,
-           collecting K latents and EOS logits;
-        2. ONE grouped Mimi decode over all K frames (16K steps @ 200 Hz) —
-           grouped codec decode is ~13x cheaper per frame than framewise
-           (convs and attention get real sequence lengths to chew on).
+        ``state`` holds only the FlowLM pytree (kc/vc/pos/latent).  Returns
+        (flow_state, key, denormalized latents [B, ldim, K], is_eos [B, K]).
 
         ``window`` (static): if nonzero, the scan runs over only the first
         ``window`` cache positions — attention cost scales with live context
@@ -320,18 +333,70 @@ class Engine:
             flow_st["vc"] = jax.lax.dynamic_update_slice(full_vc, flow_st["vc"], zero)
         # latents: [K, B, ldim] -> denormalize -> [B, ldim, K] for the codec
         denorm = flow_lm.denormalize(params["flow_lm"], latents)
-        audio, mimi_state = mimi.decode_step(
-            params["mimi"], self.plans, state["mimi"], denorm.transpose(1, 2, 0)
-        )
-        state = {**flow_st, "mimi": mimi_state}
+        is_eos = (eos_logits > eos_threshold[None, :]).T  # [B, K]
+        return flow_st, key, denorm.transpose(1, 2, 0), is_eos
+
+    def _codec_impl(self, params_mimi, mimi_state, latents):
+        """Codec half: ONE grouped Mimi decode over all K frames (16K steps
+        @ 200 Hz) — grouped codec decode is ~13x cheaper per frame than
+        framewise (convs and attention get real sequence lengths to chew on).
+        """
+        audio, mimi_state = mimi.decode_step(params_mimi, self.plans,
+                                             mimi_state, latents)
         # Ship audio as int16 PCM: it is the final output format (16-bit WAV /
         # raw PCM streams), and f32 transfers of ~1 MB hit a pathological slow
         # path in the tunneled backend (2 s vs 3 ms).
         audio = audio[:, 0, :].astype(jnp.float32)  # [B, K*frame]
         audio_i16 = jnp.clip(audio, -1.0, 1.0) * 32767.0
-        audio_i16 = audio_i16.astype(jnp.int16)
-        is_eos = (eos_logits > eos_threshold[None, :]).T  # [B, K]
-        return state, key, audio_i16, is_eos
+        return mimi_state, audio_i16.astype(jnp.int16)
+
+    def _decode_impl(self, params, state, key, gen, lsd_vec=None, *,
+                     n_frames: int, lsd_steps: int, clamped, window: int = 0):
+        """K frames per dispatch: AR scan + grouped codec decode fused into
+        one program (the single-device default; see enable_staged_codec for
+        the two-device pipeline split)."""
+        flow_state = {k: state[k] for k in ("kc", "vc", "pos", "latent")}
+        flow_st, key, denorm, is_eos = self._ar_impl(
+            params, flow_state, key, gen, lsd_vec, n_frames=n_frames,
+            lsd_steps=lsd_steps, clamped=clamped, window=window)
+        mimi_state, audio_i16 = self._codec_impl(params["mimi"], state["mimi"],
+                                                 denorm)
+        return {**flow_st, "mimi": mimi_state}, key, audio_i16, is_eos
+
+    # -- stage (pipeline) parallelism ---------------------------------------
+
+    def enable_staged_codec(self, codec_device) -> None:
+        """Two-device pipeline parallelism: AR scan on this engine's default
+        device, Mimi codec on ``codec_device``.
+
+        The decode chunk splits into two programs chained by an async
+        device-to-device latent transfer ([B, 32, K] — tiny next to the
+        audio).  The host dispatch pipeline (tts._SegmentRun / pipeline_depth)
+        already queues chunks ahead, so chunk N's codec runs on the second
+        device WHILE chunk N+1's AR scan runs on the first — on real
+        multi-chip hardware steady-state per-frame time drops from
+        (AR + codec) to max(AR, codec), ~0.5 -> ~0.3 ms/frame for the full
+        model.  The reference measured and rejected the same split on CPU
+        (sequential by design, tts_model.rs:705-854) because two CPU thread
+        pools contend; two TPU chips don't.
+
+        Single-stream engines only — the continuous batcher keeps the fused
+        single-device program (its slot admission writes into the Mimi state
+        in the same program as the FlowLM cache).  Numerics are identical to
+        the fused program (same ops, same order; see tests/test_stages.py).
+        """
+        if self.batch != 1:
+            raise ValueError("staged codec supports batch_size=1 engines; "
+                             "the continuous batcher keeps the fused program")
+        self._codec_device = codec_device
+        self._mimi_params_staged = jax.device_put(self.params["mimi"],
+                                                  codec_device)
+        self._decode_ar = jax.jit(
+            self._ar_impl,
+            static_argnames=("n_frames", "lsd_steps", "clamped", "window"),
+            donate_argnums=(1,),
+        )
+        self._decode_codec = jax.jit(self._codec_impl, donate_argnums=(1,))
 
     def window_for(self, max_pos: int, n_frames: int) -> int:
         """Smallest window bucket covering max(pos) + n_frames (0 = full)."""
@@ -370,23 +435,35 @@ class Engine:
             gen_args = (jnp.asarray(temps, jnp.float32),
                         jnp.asarray(clamp_vec, jnp.float32),
                         jnp.asarray(eos_thresholds, jnp.float32))
-            return self._decode(
-                self.params, state, key, gen_args,
-                jnp.asarray(np.asarray(lsd_vec, np.int32)),
-                n_frames=n_frames, lsd_steps=lsd_steps, clamped="vec",
-                window=window,
+            lsd_arg = jnp.asarray(np.asarray(lsd_vec, np.int32))
+            clamped = "vec"
+        else:
+            gen_args = (
+                jnp.asarray(temps, jnp.float32),
+                jnp.float32(gen.noise_clamp if gen.noise_clamp is not None
+                            else 0.0),
+                jnp.asarray(eos_thresholds, jnp.float32),
             )
-        gen_args = (
-            jnp.asarray(temps, jnp.float32),
-            jnp.float32(gen.noise_clamp if gen.noise_clamp is not None else 0.0),
-            jnp.asarray(eos_thresholds, jnp.float32),
+            lsd_arg = None
+            lsd_steps = gen.lsd_decode_steps
+            clamped = gen.noise_clamp is not None
+        if self._codec_device is not None:
+            flow_state = {k: state[k] for k in ("kc", "vc", "pos", "latent")}
+            flow_st, key, denorm, is_eos = self._decode_ar(
+                self.params, flow_state, key, gen_args, lsd_arg,
+                n_frames=n_frames, lsd_steps=lsd_steps, clamped=clamped,
+                window=window)
+            # async inter-device latent hop ([B, 32, K]); on multi-chip
+            # hardware this rides the ICI while the next AR chunk dispatches
+            denorm = jax.device_put(denorm, self._codec_device)
+            mimi_state, audio = self._decode_codec(
+                self._mimi_params_staged, state["mimi"], denorm)
+            return {**flow_st, "mimi": mimi_state}, key, audio, is_eos
+        return self._decode(
+            self.params, state, key, gen_args, lsd_arg,
+            n_frames=n_frames, lsd_steps=lsd_steps, clamped=clamped,
+            window=window,
         )
-        state, key, audio, is_eos = self._decode(
-            self.params, state, key, gen_args,
-            n_frames=n_frames, lsd_steps=gen.lsd_decode_steps,
-            clamped=gen.noise_clamp is not None, window=window,
-        )
-        return state, key, audio, is_eos
 
     # -- voice encoding ----------------------------------------------------
 
