@@ -175,6 +175,16 @@ class RuntimeConfig:
     # Static attention-window buckets for decode: the scan attends over the
     # smallest bucket covering max(pos)+K instead of the whole max_seq cache.
     window_buckets: tuple[int, ...] = (256, 512, 768)
+    # Whole-utterance (low_latency=False) segments can decode in ONE dispatch:
+    # lax.while_loop AR with the on-device eos_step + frames_after_eos stop
+    # rule, plus cond-guarded 64-frame codec groups — zero AR overshoot after
+    # EOS vs up to pipeline_depth x chunk frames on the chunked path.
+    # "auto" = fused when B=1, EOS stop possible on device, budget fits a
+    # bucket, and staged codec is off; "chunked" forces the chunk schedule.
+    segment_dispatch: str = "auto"
+    # Fused-segment capacity buckets (frames, multiples of the 64-frame codec
+    # group).  The 50-token text cap bounds budgets at (words+2)*13 <= ~704.
+    segment_buckets: tuple[int, ...] = (128, 256, 448, 704)
     # Chunk size (12.5 Hz frames) for the streaming voice-prompt encoder used
     # when a prompt exceeds the largest encode bucket.  The reference adapts
     # 120/180/240 to the prompt length to bound CPU memory

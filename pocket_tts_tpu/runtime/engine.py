@@ -363,6 +363,127 @@ class Engine:
                                                  denorm)
         return {**flow_st, "mimi": mimi_state}, key, audio_i16, is_eos
 
+    def _decode_segment_impl(self, params, state, key, gen, mf, fae, *,
+                             n_frames: int, lsd_steps: int, clamped,
+                             window: int = 0, group: int = 64):
+        """A WHOLE segment in one dispatch, with the EOS stop rule on device.
+
+        The chunked path computes every dispatched frame even after EOS fires
+        — with pipelining, up to depth x chunk frames of discarded work per
+        segment (SURVEY hard-part #4; the host cannot know EOS before
+        fetching).  Here the AR loop is a ``lax.while_loop`` whose carry
+        tracks ``eos_step`` and stops at ``min(mf, eos_step + fae)`` exactly
+        like the host rule (tts.py _SegmentRun.fetch_one), so zero AR frames
+        are wasted; the codec then runs as ``lax.cond``-guarded groups of
+        ``group`` frames (TPU executes only the taken branch), bounding codec
+        overshoot at group-1 frames.
+
+        ``n_frames`` (static) is the bucket capacity; ``mf`` (dynamic) the
+        text-derived frame budget; ``fae`` (dynamic) frames_after_eos.
+        Single-stream (B=1) only.  Returns
+        (state, key, audio_i16 [1, n_frames*frame], n_valid, eos_step).
+        """
+        cfg = self.cfg
+        table = flow_mlp.time_embedding_table(params["flow_lm"]["flow"],
+                                              lsd_steps)
+        temp, noise_clamp, eos_threshold = gen
+        full_kc, full_vc = state["kc"], state["vc"]
+        flow = {k: state[k] for k in ("kc", "vc", "pos", "latent")}
+        if window:
+            flow["kc"] = full_kc[:, :, :window]
+            flow["vc"] = full_vc[:, :, :window]
+        n_layers = self._tcfg.num_layers
+        flow["kc"] = tuple(flow["kc"][i] for i in range(n_layers))
+        flow["vc"] = tuple(flow["vc"][i] for i in range(n_layers))
+        lat_buf = jnp.zeros((n_frames, 1, self.ldim), jnp.float32)
+
+        def cond_fn(c):
+            _, _, _, i, eos_step = c
+            live = (eos_step < 0) | (i < eos_step + fae)
+            return (i < mf) & live
+
+        def body_fn(c):
+            st, key, buf, i, eos_step = c
+            key, sub = jax.random.split(key)
+            noise = flow_lm.sample_noise(sub, (1, self.ldim), temp,
+                                         noise_clamp, clamped=clamped)
+            latent, eos_logit, kc, vc, pos = flow_lm.step(
+                params["flow_lm"], cfg, st["kc"], st["vc"], st["pos"],
+                st["latent"], noise, table, lsd_steps, 0.0,
+                use_pallas=self._use_pallas,
+            )
+            buf = jax.lax.dynamic_update_slice(buf, latent[None], (i, 0, 0))
+            hit = (eos_logit[0] > eos_threshold[0]) & (eos_step < 0)
+            eos_step = jnp.where(hit, i, eos_step)
+            st = {"kc": kc, "vc": vc, "pos": pos, "latent": latent}
+            return st, key, buf, i + 1, eos_step
+
+        flow, key, lat_buf, n_valid, eos_step = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (flow, key, lat_buf, jnp.int32(0), jnp.int32(-1)))
+        flow = dict(flow)
+        flow["kc"] = jnp.stack(flow["kc"])
+        flow["vc"] = jnp.stack(flow["vc"])
+        if window:
+            zero = (0,) * full_kc.ndim
+            flow["kc"] = jax.lax.dynamic_update_slice(full_kc, flow["kc"], zero)
+            flow["vc"] = jax.lax.dynamic_update_slice(full_vc, flow["vc"], zero)
+
+        denorm = flow_lm.denormalize(params["flow_lm"], lat_buf)
+        lat_bct = denorm.transpose(1, 2, 0)  # [1, ldim, n_frames]
+        audio_buf = jnp.zeros((1, n_frames * self.frame_size), jnp.int16)
+
+        def gbody(g, carry):
+            def run(args):
+                mimi_state, audio_buf = args
+                lat_g = jax.lax.dynamic_slice(
+                    lat_bct, (0, 0, g * group), (1, self.ldim, group))
+                audio, mimi_state = mimi.decode_step(
+                    params["mimi"], self.plans, mimi_state, lat_g)
+                a16 = (jnp.clip(audio[:, 0, :].astype(jnp.float32), -1.0, 1.0)
+                       * 32767.0).astype(jnp.int16)
+                audio_buf = jax.lax.dynamic_update_slice(
+                    audio_buf, a16, (0, g * group * self.frame_size))
+                return mimi_state, audio_buf
+            return jax.lax.cond(g * group < n_valid, run, lambda a: a, carry)
+
+        mimi_state, audio_buf = jax.lax.fori_loop(
+            0, n_frames // group, gbody, (state["mimi"], audio_buf))
+        return ({**flow, "mimi": mimi_state}, key, audio_buf, n_valid, eos_step)
+
+    def segment_bucket(self, max_frames: int) -> int | None:
+        """Smallest fused-segment bucket covering ``max_frames`` (None = too
+        big for single-dispatch mode; callers fall back to the chunk path)."""
+        for b in getattr(self._rcfg, "segment_buckets", ()):
+            if max_frames <= b:
+                return b
+        return None
+
+    def decode_segment(self, state: dict, key: jax.Array, gen: GenParams, *,
+                       max_frames: int, frames_after_eos: int, bucket: int,
+                       window: int = 0):
+        """One-dispatch segment decode (see _decode_segment_impl).  Not
+        available with staged codec (the fused program contains both stages)
+        or per-slot knob vectors (B=1 only)."""
+        if not hasattr(self, "_decode_segment"):
+            self._decode_segment = jax.jit(
+                self._decode_segment_impl,
+                static_argnames=("n_frames", "lsd_steps", "clamped", "window",
+                                 "group"),
+                donate_argnums=(1,),
+            )
+        gen_args = (
+            jnp.full((1,), gen.temp, jnp.float32),
+            jnp.float32(gen.noise_clamp if gen.noise_clamp is not None else 0.0),
+            jnp.full((1,), gen.eos_threshold, jnp.float32),
+        )
+        return self._decode_segment(
+            self.params, state, key, gen_args, jnp.int32(max_frames),
+            jnp.int32(frames_after_eos), n_frames=bucket,
+            lsd_steps=gen.lsd_decode_steps,
+            clamped=gen.noise_clamp is not None, window=window,
+        )
+
     # -- stage (pipeline) parallelism ---------------------------------------
 
     def enable_staged_codec(self, codec_device) -> None:

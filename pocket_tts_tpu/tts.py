@@ -423,8 +423,28 @@ class _SegmentRun:
         state = eng.reset_for_segment(voice_state.as_dict())
         self.state = eng.prefill_tokens(state, tokens, n_tokens)
         model._rng["key"], self.key = jax.random.split(model._rng["key"])
-        self._schedule = iter(eng.chunk_schedule(self.max_frames,
-                                                 low_latency=low_latency))
+        # Whole-utterance mode: decode the entire segment in ONE dispatch with
+        # the EOS stop rule on device (engine.decode_segment) — zero frames
+        # computed past eos_step + frames_after_eos, vs up to depth x chunk
+        # discarded frames on the chunked path.  Falls back to the chunk
+        # schedule for streaming (incremental audio), staged codec (the fused
+        # program contains both stages), budgets past the largest bucket, or
+        # an infinite eos_threshold: with EOS unreachable there is no
+        # overshoot to save, and the while_loop program measured ~5% slower
+        # than the chunked scan on TPU (docs/performance.md).
+        import math
+
+        self.fused_bucket = None
+        if (not low_latency and self.max_frames
+                and getattr(eng._rcfg, "segment_dispatch", "chunked") == "auto"
+                and getattr(eng, "_codec_device", None) is None
+                and math.isfinite(model.gen.eos_threshold)):
+            self.fused_bucket = eng.segment_bucket(self.max_frames)
+        if self.fused_bucket is not None:
+            self._schedule = iter([self.fused_bucket])
+        else:
+            self._schedule = iter(eng.chunk_schedule(self.max_frames,
+                                                     low_latency=low_latency))
         self._next_k = next(self._schedule, None) if self.max_frames else None
         self.base_pos = voice_state.length + n_tokens
         self.issued = 0
@@ -442,14 +462,36 @@ class _SegmentRun:
     def dispatch_one(self) -> None:
         k = self._next_k
         eng = self.model.engine
-        window = eng.window_for(self.base_pos + self.issued, k)
-        self.state, self.key, audio, is_eos = eng.decode_frames(
-            self.state, self.key, k, self.model.gen, window=window)
-        self.pending.append((k, audio, is_eos))
+        if self.fused_bucket is not None:
+            window = eng.window_for(self.base_pos, k)
+            self.state, self.key, audio, n_valid, eos_step = eng.decode_segment(
+                self.state, self.key, self.model.gen,
+                max_frames=self.max_frames,
+                frames_after_eos=self.frames_after_eos, bucket=k,
+                window=window)
+            self.pending.append(("fused", audio, n_valid, eos_step))
+        else:
+            window = eng.window_for(self.base_pos + self.issued, k)
+            self.state, self.key, audio, is_eos = eng.decode_frames(
+                self.state, self.key, k, self.model.gen, window=window)
+            self.pending.append((k, audio, is_eos))
         self.issued += k
         self._next_k = next(self._schedule, None)
 
     def fetch_one(self) -> np.ndarray | None:
+        if self.pending and self.pending[0][0] == "fused":
+            _, audio, n_valid, eos_step = self.pending.pop(0)
+            audio, n_valid, eos_step = jax.device_get((audio, n_valid, eos_step))
+            n_valid, eos_step = int(n_valid), int(eos_step)
+            self.eos_step = eos_step if eos_step >= 0 else None
+            self.frames_done = n_valid
+            self.done = True
+            if n_valid == 0:
+                return None
+            out = (np.asarray(audio)[0, : n_valid * self.model.frame_size]
+                   .astype(np.float32) / 32767.0)
+            self.total_samples += out.size
+            return out
         k, audio, is_eos = self.pending.pop(0)
         audio, eos_np = jax.device_get((audio, is_eos))
         # device ships int16 PCM; the public API stays float32 in [-1, 1]

@@ -41,10 +41,13 @@ def test_staged_codec_equals_fused(params):
     want = fused.generate(TEXT)
     got = staged.generate(TEXT)
     assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, atol=1e-5)
+    # 1 int16 LSB (1/32767): the non-staged model takes the fused-SEGMENT
+    # program (while_loop), the staged one the chunked split — last-ulp
+    # float fusion differences flip an occasional PCM rounding
+    np.testing.assert_allclose(got, want, atol=4e-5)
     # repeat: decode donation must never invalidate the live voice snapshot
     got2 = staged.generate(TEXT)
-    np.testing.assert_allclose(got2, want, atol=1e-5)
+    np.testing.assert_allclose(got2, want, atol=4e-5)
 
 
 def test_staged_codec_streaming_and_voice(params):

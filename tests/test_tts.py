@@ -268,3 +268,76 @@ def test_extend_voice_state_respects_cache_budget(model):
 
     vs3 = model.extend_voice_state(vs2, one_sec)  # no room left: unchanged
     assert vs3 is vs2
+
+
+def _chunked_clone(model):
+    """Same params, chunk-schedule dispatch forced (segment_dispatch off)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, runtime=dataclasses.replace(CFG.runtime,
+                                         segment_dispatch="chunked"))
+    return TTSModel(cfg, model.params, gen=model.gen, has_real_weights=False)
+
+
+def test_fused_segment_equals_chunked_with_eos(model):
+    """Whole-utterance generate() now decodes each segment in ONE dispatch
+    with the EOS stop rule on device (lax.while_loop).  Audio must equal the
+    chunked host-truncated path to 1 int16 LSB (the while_loop program
+    fuses differently, flipping an occasional PCM rounding).  The random
+    test weights fire EOS early, so this exercises the on-device
+    eos_step + frames_after_eos rule, not just the budget path."""
+    chunked = _chunked_clone(model)
+    text = "Hello, world! This is a longer sentence to exercise the budget."
+    a = model.generate(text)
+    b = chunked.generate(text)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=4e-5)  # 1 LSB = 1/32767
+
+
+def test_fused_segment_equals_chunked_no_eos(model):
+    # finite-but-unreachable threshold: fused path taken, EOS never fires,
+    # both paths run the full frame budget (an INFINITE threshold disables
+    # the fused path entirely — no overshoot to save)
+    fused = TTSModel(CFG, model.params,
+                     gen=GenParams(temp=0.0, eos_threshold=1e9),
+                     has_real_weights=False)
+    chunked = _chunked_clone(fused)
+    a = fused.generate("Hello there friend.")
+    b = chunked.generate("Hello there friend.")
+    assert a.shape == b.shape  # full budget on both paths
+    np.testing.assert_allclose(a, b, atol=4e-5)
+
+
+def test_infinite_eos_threshold_keeps_chunked_schedule(model):
+    from pocket_tts_tpu.tts import _SegmentRun
+
+    m = TTSModel(CFG, model.params,
+                 gen=GenParams(temp=0.0, eos_threshold=float("inf")),
+                 has_real_weights=False)
+    run = _SegmentRun(m, "Hello.", m.get_voice_state(), None,
+                      low_latency=False)
+    assert run.fused_bucket is None
+
+
+def test_fused_segment_budget_fallback(model):
+    """Budgets beyond the largest segment bucket fall back to the chunk
+    schedule (and streaming always uses it)."""
+    import dataclasses
+
+    from pocket_tts_tpu.tts import _SegmentRun
+
+    cfg = dataclasses.replace(
+        CFG, runtime=dataclasses.replace(CFG.runtime, segment_buckets=(8, 64)))
+    m = TTSModel(cfg, model.params, gen=GenParams(temp=0.0),
+                 has_real_weights=False)
+    vs = m.get_voice_state()
+    run_fused = _SegmentRun(m, "Hi.", vs, None, low_latency=False)
+    assert run_fused.fused_bucket == 64  # budget (1+2)*13 = 39 -> 64 bucket
+    run_stream = _SegmentRun(m, "Hi.", vs, None, low_latency=True)
+    assert run_stream.fused_bucket is None  # streaming keeps the chunk ramp
+    long_text = ("This sentence carries clearly more than the sixty four "
+                 "frame budget that the largest configured bucket allows "
+                 "so the run must fall back to the chunked schedule here.")
+    run_long = _SegmentRun(m, long_text, vs, None, low_latency=False)
+    assert run_long.fused_bucket is None
