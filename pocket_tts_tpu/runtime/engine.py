@@ -266,6 +266,40 @@ class Engine:
 
     # -- decode -----------------------------------------------------------
 
+    def _split_cache(self, state: dict, window: int) -> dict:
+        """Stacked [L, B, S, ...] kc/vc -> per-layer tuples (scan carries),
+        optionally sliced to the first ``window`` positions.  Inverse:
+        _merge_cache."""
+        state = dict(state)
+        if window:
+            state["kc"] = state["kc"][:, :, :window]
+            state["vc"] = state["vc"][:, :, :window]
+        n_layers = self._tcfg.num_layers
+        state["kc"] = tuple(state["kc"][i] for i in range(n_layers))
+        state["vc"] = tuple(state["vc"][i] for i in range(n_layers))
+        return state
+
+    @staticmethod
+    def _merge_cache(state: dict, full_kc, full_vc, window: int) -> dict:
+        state = dict(state)
+        state["kc"] = jnp.stack(state["kc"])
+        state["vc"] = jnp.stack(state["vc"])
+        if window:
+            zero = (0,) * full_kc.ndim
+            state["kc"] = jax.lax.dynamic_update_slice(full_kc, state["kc"], zero)
+            state["vc"] = jax.lax.dynamic_update_slice(full_vc, state["vc"], zero)
+        return state
+
+    @staticmethod
+    def _pcm16(audio) -> jnp.ndarray:
+        """Codec output [B, 1, T] float -> [B, T] int16 PCM.
+
+        int16 is the device->host wire format: it is the final output format
+        (16-bit WAV / raw PCM streams), and f32 transfers of ~1 MB hit a
+        pathological slow path in the tunneled backend (2 s vs 3 ms)."""
+        a = audio[:, 0, :].astype(jnp.float32)
+        return (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
     def _ar_impl(self, params, state, key, gen, lsd_vec=None, *,
                  n_frames: int, lsd_steps: int, clamped, window: int = 0):
         """AR half of a decode chunk: ``lax.scan`` over the (inherently
@@ -297,16 +331,9 @@ class Engine:
         b = state["pos"].shape[0]
         temp, noise_clamp, eos_threshold = gen
         full_kc, full_vc = state["kc"], state["vc"]
-        if window:
-            state = dict(state)
-            state["kc"] = full_kc[:, :, :window]
-            state["vc"] = full_vc[:, :, :window]
         # split the stacked cache into per-layer carries for the frame scan
         # (see transformer.cache_forward); restacked once after the scan
-        n_layers = self._tcfg.num_layers
-        state = dict(state)
-        state["kc"] = tuple(state["kc"][i] for i in range(n_layers))
-        state["vc"] = tuple(state["vc"][i] for i in range(n_layers))
+        state = self._split_cache(state, window)
 
         def body(carry, i):
             st, key = carry
@@ -325,12 +352,7 @@ class Engine:
         (flow_st, key), (latents, eos_logits) = jax.lax.scan(
             body, (flow_st, key), jnp.arange(n_frames)
         )
-        flow_st["kc"] = jnp.stack(flow_st["kc"])
-        flow_st["vc"] = jnp.stack(flow_st["vc"])
-        if window:
-            zero = (0,) * full_kc.ndim
-            flow_st["kc"] = jax.lax.dynamic_update_slice(full_kc, flow_st["kc"], zero)
-            flow_st["vc"] = jax.lax.dynamic_update_slice(full_vc, flow_st["vc"], zero)
+        flow_st = self._merge_cache(flow_st, full_kc, full_vc, window)
         # latents: [K, B, ldim] -> denormalize -> [B, ldim, K] for the codec
         denorm = flow_lm.denormalize(params["flow_lm"], latents)
         is_eos = (eos_logits > eos_threshold[None, :]).T  # [B, K]
@@ -343,12 +365,7 @@ class Engine:
         """
         audio, mimi_state = mimi.decode_step(params_mimi, self.plans,
                                              mimi_state, latents)
-        # Ship audio as int16 PCM: it is the final output format (16-bit WAV /
-        # raw PCM streams), and f32 transfers of ~1 MB hit a pathological slow
-        # path in the tunneled backend (2 s vs 3 ms).
-        audio = audio[:, 0, :].astype(jnp.float32)  # [B, K*frame]
-        audio_i16 = jnp.clip(audio, -1.0, 1.0) * 32767.0
-        return mimi_state, audio_i16.astype(jnp.int16)
+        return mimi_state, self._pcm16(audio)
 
     def _decode_impl(self, params, state, key, gen, lsd_vec=None, *,
                      n_frames: int, lsd_steps: int, clamped, window: int = 0):
@@ -389,12 +406,7 @@ class Engine:
         temp, noise_clamp, eos_threshold = gen
         full_kc, full_vc = state["kc"], state["vc"]
         flow = {k: state[k] for k in ("kc", "vc", "pos", "latent")}
-        if window:
-            flow["kc"] = full_kc[:, :, :window]
-            flow["vc"] = full_vc[:, :, :window]
-        n_layers = self._tcfg.num_layers
-        flow["kc"] = tuple(flow["kc"][i] for i in range(n_layers))
-        flow["vc"] = tuple(flow["vc"][i] for i in range(n_layers))
+        flow = self._split_cache(flow, window)
         lat_buf = jnp.zeros((n_frames, 1, self.ldim), jnp.float32)
 
         def cond_fn(c):
@@ -421,17 +433,23 @@ class Engine:
         flow, key, lat_buf, n_valid, eos_step = jax.lax.while_loop(
             cond_fn, body_fn,
             (flow, key, lat_buf, jnp.int32(0), jnp.int32(-1)))
-        flow = dict(flow)
-        flow["kc"] = jnp.stack(flow["kc"])
-        flow["vc"] = jnp.stack(flow["vc"])
-        if window:
-            zero = (0,) * full_kc.ndim
-            flow["kc"] = jax.lax.dynamic_update_slice(full_kc, flow["kc"], zero)
-            flow["vc"] = jax.lax.dynamic_update_slice(full_vc, flow["vc"], zero)
+        # the host stop rule is min(mf, eos_step + fae); with fae == 0 the
+        # loop body has already computed the EOS frame before cond_fn can
+        # stop, so clamp n_valid back down instead of emitting that frame
+        n_valid = jnp.where(eos_step >= 0,
+                            jnp.minimum(mf, eos_step + fae), n_valid)
+        flow = self._merge_cache(flow, full_kc, full_vc, window)
 
         denorm = flow_lm.denormalize(params["flow_lm"], lat_buf)
         lat_bct = denorm.transpose(1, 2, 0)  # [1, ldim, n_frames]
-        audio_buf = jnp.zeros((1, n_frames * self.frame_size), jnp.int16)
+        # buckets need not be multiples of ``group``: pad the latent/audio
+        # buffers up to one (static padding; the tail group decodes zero
+        # latents past n_frames, bounded overshoot like any partial group)
+        group = min(group, n_frames)
+        n_pad = -(-n_frames // group) * group
+        if n_pad > n_frames:
+            lat_bct = jnp.pad(lat_bct, ((0, 0), (0, 0), (0, n_pad - n_frames)))
+        audio_buf = jnp.zeros((1, n_pad * self.frame_size), jnp.int16)
 
         def gbody(g, carry):
             def run(args):
@@ -440,15 +458,15 @@ class Engine:
                     lat_bct, (0, 0, g * group), (1, self.ldim, group))
                 audio, mimi_state = mimi.decode_step(
                     params["mimi"], self.plans, mimi_state, lat_g)
-                a16 = (jnp.clip(audio[:, 0, :].astype(jnp.float32), -1.0, 1.0)
-                       * 32767.0).astype(jnp.int16)
                 audio_buf = jax.lax.dynamic_update_slice(
-                    audio_buf, a16, (0, g * group * self.frame_size))
+                    audio_buf, self._pcm16(audio),
+                    (0, g * group * self.frame_size))
                 return mimi_state, audio_buf
             return jax.lax.cond(g * group < n_valid, run, lambda a: a, carry)
 
         mimi_state, audio_buf = jax.lax.fori_loop(
-            0, n_frames // group, gbody, (state["mimi"], audio_buf))
+            0, n_pad // group, gbody, (state["mimi"], audio_buf))
+        audio_buf = audio_buf[:, : n_frames * self.frame_size]
         return ({**flow, "mimi": mimi_state}, key, audio_buf, n_valid, eos_step)
 
     def segment_bucket(self, max_frames: int) -> int | None:
@@ -598,6 +616,14 @@ class Engine:
         return flow_lm.speaker_project(params["flow_lm"],
                                        lat.transpose(0, 2, 1)), state
 
+    @property
+    def prompt_reserve(self) -> int:
+        """Cache positions held back from voice-prompt conditioning: room for
+        a text segment plus a typical generated segment (~15 s).  Shared by
+        encode_voice's cap and TTSModel.extend_voice_state's clipping so the
+        two budgets cannot drift."""
+        return max(self._rcfg.text_buckets) + 192
+
     def encode_voice(self, audio: np.ndarray) -> tuple[jnp.ndarray, int]:
         """24 kHz mono [T] or [1, T] -> ([1, frames, d_model] conditioning, frames).
 
@@ -611,10 +637,7 @@ class Engine:
         capped at max_seq minus a generation reserve.
         """
         audio = np.asarray(audio, np.float32).reshape(1, 1, -1)
-        # cap: leave room in the FlowLM cache for a text segment plus a
-        # typical generated segment (~15 s); callers warn if a long prompt
-        # still squeezes generation below the text-derived budget
-        reserve = max(self._rcfg.text_buckets) + 192
+        reserve = self.prompt_reserve
         max_frames = self._rcfg.max_seq - reserve
         if max_frames <= 0:
             raise ValueError(

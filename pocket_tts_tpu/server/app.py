@@ -73,6 +73,19 @@ def create_app(state: ServerState):
 
     routes = web.RouteTableDef()
 
+    def _int_field(body: dict, name: str, default: int = 0) -> int:
+        """Parse an optional integer request field; malformed values are a
+        client error (json 400), never an unhandled 500."""
+        val = body.get(name)
+        if val is None or val == "":
+            return default
+        try:
+            return int(val)
+        except (TypeError, ValueError):
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": f"{name} must be an integer"}),
+                content_type="application/json")
+
     @routes.get("/")
     async def index(request):
         from pathlib import Path
@@ -105,7 +118,7 @@ def create_app(state: ServerState):
         # never on the event loop
         voice = await loop.run_in_executor(
             state.pool, state.resolve, body.get("voice"))
-        cont = int(body.get("continuation_frames") or 0)
+        cont = _int_field(body, "continuation_frames")
         if state.batcher is not None and cont <= 0:
             # per-request lsd_decode_steps / noise_clamp ride the batch as
             # per-slot data (engine lsd_vec/clamp_vec) — no single-flight path
@@ -136,6 +149,9 @@ def create_app(state: ServerState):
         if not str(text).strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
                                      content_type="application/json")
+        # parse/validate before the response is prepared — after prepare()
+        # the status line is sent and a 400 can no longer be raised
+        cont = _int_field(body, "continuation_frames")
         loop0 = asyncio.get_running_loop()
         voice = await loop0.run_in_executor(state.pool, state.resolve,
                                             body.get("voice"))
@@ -164,8 +180,6 @@ def create_app(state: ServerState):
                     return False
             fut.cancel()
             return False
-
-        cont = int(body.get("continuation_frames") or 0)
 
         def producer():
             try:

@@ -230,8 +230,7 @@ class TTSModel:
         state already fills the budget)."""
         cond, n_frames = self.engine.encode_voice(wav)
         rcfg = self.engine._rcfg
-        reserve = max(rcfg.text_buckets) + 192
-        room = rcfg.max_seq - reserve - voice_state.length
+        room = rcfg.max_seq - self.engine.prompt_reserve - voice_state.length
         if room <= 0:
             logger.warning(
                 "voice state (%d frames) already fills the cache budget; "
@@ -263,7 +262,8 @@ class TTSModel:
     def generate_stream(self, text: str, voice_state: VoiceState | None = None,
                         frames_after_eos: int | None = None, *,
                         low_latency: bool = True,
-                        continuation_frames: int = 0) -> Iterator[np.ndarray]:
+                        continuation_frames: int = 0,
+                        _tail: dict | None = None) -> Iterator[np.ndarray]:
         """Stream audio chunks.  Text is split into <=50-token sentence chunks;
         each restarts from the voice state (tts_model.py:396-411).
 
@@ -282,10 +282,16 @@ class TTSModel:
         if voice_state is None:
             voice_state = self.get_voice_state()
         chunks = text_mod.split_into_best_sentences(self.tokenizer, text)
-        if continuation_frames > 0 and len(chunks) > 1:
+        # ``_tail`` (private): mutable {"audio": np.ndarray} carrying the
+        # continuation tail ACROSS generate_stream calls — generate_stream_long
+        # passes one holder per utterance so prosody bridges pause segments
+        # (every comma is a 200 ms pause segment; without the holder each
+        # would reset the conditioning the feature exists to provide)
+        if continuation_frames > 0 and (
+                len(chunks) > 1 or (_tail is not None)):
             yield from self._run_segments_continuation(
                 chunks, voice_state, frames_after_eos, low_latency,
-                continuation_frames)
+                continuation_frames, _tail)
         else:
             yield from self._run_segments(chunks, voice_state, frames_after_eos,
                                           low_latency)
@@ -306,6 +312,11 @@ class TTSModel:
         silence for ``[pause:Xms]`` / natural pauses (tts_model.rs:1074-1127)."""
         if voice_state is None:
             voice_state = self.get_voice_state()
+        # one tail holder for the whole utterance: continuation conditioning
+        # carries across pause boundaries (commas, ellipses, [pause:Xms]),
+        # which are exactly the seams the feature exists to bridge
+        tail = ({"audio": np.zeros(0, np.float32)}
+                if continuation_frames > 0 else None)
         for seg in pause_mod.segment_text(text):
             if seg.kind == "pause":
                 n = pause_mod.silence_samples(seg.duration_ms, self.sample_rate)
@@ -314,7 +325,7 @@ class TTSModel:
                 yield from self.generate_stream(
                     seg.text, voice_state, frames_after_eos,
                     low_latency=low_latency,
-                    continuation_frames=continuation_frames)
+                    continuation_frames=continuation_frames, _tail=tail)
 
     # -- internals -------------------------------------------------------------
 
@@ -369,7 +380,9 @@ class TTSModel:
                                    voice_state: VoiceState,
                                    frames_after_eos: int | None,
                                    low_latency: bool,
-                                   continuation_frames: int) -> Iterator[np.ndarray]:
+                                   continuation_frames: int,
+                                   tail_holder: dict | None = None,
+                                   ) -> Iterator[np.ndarray]:
         """Teacher-forced variant of _run_segments: segment N+1 is conditioned
         on the tail of the audio generated so far.
 
@@ -379,15 +392,21 @@ class TTSModel:
         segments the utterance has.  Segments run serially — the conditioning
         data dependency removes the cross-segment pipelining of
         _run_segments, trading ~5-10%% throughput for prosodic continuity.
-        """
+
+        ``tail_holder`` ({"audio": ndarray}) carries the tail in from (and
+        back out to) the caller, so generate_stream_long can bridge it across
+        pause segments."""
         tail_cap = continuation_frames * self.frame_size
-        tail = np.zeros(0, np.float32)
+        if tail_holder is None:
+            tail_holder = {"audio": np.zeros(0, np.float32)}
         for text in texts:
+            tail = tail_holder["audio"]
             vs = (self.extend_voice_state(voice_state, tail) if tail.size
                   else voice_state)
             for out in self._run_segments([text], vs, frames_after_eos,
                                           low_latency):
-                tail = np.concatenate([tail, out])[-tail_cap:]
+                tail_holder["audio"] = np.concatenate(
+                    [tail_holder["audio"], out])[-tail_cap:]
                 yield out
 
 
@@ -463,7 +482,11 @@ class _SegmentRun:
         k = self._next_k
         eng = self.model.engine
         if self.fused_bucket is not None:
-            window = eng.window_for(self.base_pos, k)
+            # tight bound: the while_loop writes at most max_frames positions
+            # past base_pos, regardless of the (larger) bucket capacity k —
+            # sizing from k would pick a needlessly large window bucket, and
+            # each (bucket, window) pair is a separate cold compile
+            window = eng.window_for(self.base_pos, self.max_frames)
             self.state, self.key, audio, n_valid, eos_step = eng.decode_segment(
                 self.state, self.key, self.model.gen,
                 max_frames=self.max_frames,

@@ -185,3 +185,21 @@ def test_generate_continuation_param(client):
     _check_wav(plain)
     _check_wav(cont)
     assert plain != cont
+
+
+def test_malformed_continuation_frames_is_400(client):
+    """A malformed continuation_frames is a client error (json 400), not an
+    unhandled 500 — and /stream validates it BEFORE the response is prepared
+    (after prepare() the status line is already on the wire)."""
+    c, loop = client
+
+    async def go(route, body):
+        resp = await c.post(route, json=body)
+        return resp.status, await resp.json()
+
+    for route in ("/generate", "/stream"):
+        for bad in ("lots", [1], {"n": 1}):
+            status, body = loop.run_until_complete(
+                go(route, {"text": "hi", "continuation_frames": bad}))
+            assert status == 400, (route, bad)
+            assert "continuation_frames" in body["error"]

@@ -341,3 +341,77 @@ def test_fused_segment_budget_fallback(model):
                  "so the run must fall back to the chunked schedule here.")
     run_long = _SegmentRun(m, long_text, vs, None, low_latency=False)
     assert run_long.fused_bucket is None
+
+def test_fused_segment_equals_chunked_fae_zero(model):
+    """frames_after_eos=0: the fused on-device stop rule must drop the EOS
+    frame exactly like the chunked host rule.  Regression: the while_loop
+    body computes the EOS frame before cond_fn can stop, so n_valid needs an
+    explicit min(mf, eos_step + fae) clamp after the loop."""
+    chunked = _chunked_clone(model)
+    text = "Hello, world! This is a longer sentence to exercise the budget."
+    a = model.generate(text, frames_after_eos=0)
+    b = chunked.generate(text, frames_after_eos=0)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=4e-5)
+
+
+def test_fused_bucket_not_multiple_of_codec_group(model):
+    """Segment buckets need not be multiples of the codec group (64): both a
+    bucket smaller than the group and one with a trailing partial group must
+    decode every valid frame.  Regression: the grouped fori_loop ran
+    n_frames // group iterations, silently emitting digital silence for the
+    remainder."""
+    import dataclasses
+
+    text = "Hello there friend."
+    budget = model.estimate_generation_steps(text)
+    buckets = [budget, budget + 70]
+    buckets = [b + 1 if b % 64 == 0 else b for b in buckets]
+    gen = GenParams(temp=0.0, eos_threshold=1e9)  # EOS unreachable: full budget
+    want = None
+    for bucket in buckets:
+        cfg = dataclasses.replace(
+            CFG, runtime=dataclasses.replace(CFG.runtime,
+                                             segment_buckets=(bucket,)))
+        fused = TTSModel(cfg, model.params, gen=gen, has_real_weights=False)
+        from pocket_tts_tpu.tts import _SegmentRun
+        run = _SegmentRun(fused, text, fused.get_voice_state(), None,
+                          low_latency=False)
+        assert run.fused_bucket == bucket
+        a = fused.generate(text)
+        if want is None:
+            want = _chunked_clone(fused).generate(text)
+        assert a.shape == want.shape
+        # the trailing frames must carry real audio, not zero fill
+        np.testing.assert_allclose(a, want, atol=4e-5)
+
+
+def test_continuation_bridges_pause_segments(model):
+    """The continuation tail carries across pause boundaries — text after a
+    [pause:Xms] (or comma/ellipsis) is conditioned on the audio generated
+    before it.  Regression: each pause segment restarted generate_stream with
+    an empty tail, making continuation inert at exactly the seams it exists
+    to bridge."""
+    from pocket_tts_tpu import pause as pause_mod
+
+    t1 = "The first sentence sets the voice in motion right here."
+    t2 = "The second should carry that same voice onward now."
+    text = f"{t1} [pause:200ms] {t2}"
+    W = 8
+    auto = model.generate_with_pauses(text, continuation_frames=W)
+
+    vs = model.get_voice_state()
+    a1 = np.concatenate(list(model._run_segments([t1], vs, None, False)))
+    tail = a1[-W * model.frame_size:]
+    vs2 = model.extend_voice_state(vs, tail)
+    a2 = np.concatenate(list(model._run_segments([t2], vs2, None, False)))
+    sil = np.zeros(pause_mod.silence_samples(200, model.sample_rate),
+                   np.float32)
+    want = np.concatenate([a1, sil, a2])
+    assert auto.shape == want.shape
+    np.testing.assert_allclose(auto, want, atol=1e-5)
+    # and the bridge must matter: without continuation the second segment is
+    # generated from the bare voice state and differs
+    plain = model.generate_with_pauses(text)
+    assert (plain.shape != auto.shape
+            or not np.allclose(plain, auto, atol=1e-5))
