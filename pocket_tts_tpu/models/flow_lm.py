@@ -37,8 +37,9 @@ def sample_noise(
     ``temp`` may be a per-batch [B] vector (continuous batching); ``clamped``
     is static because truncation changes the compiled program — EXCEPT in
     ``clamped="vec"`` mode, where ``noise_clamp`` is a per-slot [B] vector
-    (<= 0 means unclamped) and the choice is data: both samplers draw from the
-    same key and each slot selects its own.  One compiled program serves
+    (< 0 means unclamped; 0 is a hard zero-clamp, matching the scalar path's
+    noise_clamp=0.0) and the choice is data: both samplers draw from the same
+    key and each slot selects its own.  One compiled program serves
     mixed-clamp batches.
     """
     temp = jnp.asarray(temp, jnp.float32)
@@ -52,8 +53,11 @@ def sample_noise(
         trunc = jax.random.truncated_normal(key, -bound, bound, shape, jnp.float32)
         noise = jnp.where(clamp > 0, trunc, free) * std
         # erfinv's u -> +-1 edge can yield inf at ~2^-24/sample; the truncation
-        # bound IS the absolute clamp, so clipping is semantically free
-        return jnp.where(clamp > 0, jnp.clip(noise, -clamp, clamp), noise)
+        # bound IS the absolute clamp, so clipping is semantically free.
+        # clamp == 0 rows clip the free draw to exactly zero (the degenerate
+        # truncated_normal(-0, 0) is never selected)
+        hi = jnp.maximum(clamp, 0.0)
+        return jnp.where(clamp >= 0, jnp.clip(noise, -hi, hi), noise)
     if not clamped:
         return jax.random.normal(key, shape, jnp.float32) * std
     clamp = jnp.asarray(noise_clamp, jnp.float32)

@@ -108,8 +108,6 @@ class ContinuousBatcher:
 
     def __init__(self, model: TTSModel, batch_size: int = 4,
                  chunk_frames: int = 8, seed: int = 0, depth: int = 2):
-        import dataclasses
-
         self.model = model
         self.batch = batch_size
         self.chunk = chunk_frames
@@ -272,9 +270,10 @@ class ContinuousBatcher:
         temps = np.full((self.batch,), 0.7, np.float32)
         eos_th = np.full((self.batch,), -4.0, np.float32)
         # per-slot compile-static-in-the-reference knobs, here data: lsd step
-        # counts (masked Euler) and noise clamps (0 = unclamped)
+        # counts (masked Euler) and noise clamps (< 0 = unclamped; 0 is a
+        # hard zero-clamp, so None must NOT be encoded as 0)
         lsd = np.ones((self.batch,), np.int32)
-        clamp = np.zeros((self.batch,), np.float32)
+        clamp = np.full((self.batch,), -1.0, np.float32)
         pending: list = []  # in-flight (owners, audio, is_eos) awaiting fetch
 
         while not self._stop.is_set():
@@ -306,7 +305,7 @@ class ContinuousBatcher:
                 eos_th[i] = seg.request.gen.eos_threshold
                 lsd[i] = max(1, seg.request.gen.lsd_decode_steps)
                 nc = seg.request.gen.noise_clamp
-                clamp[i] = nc if nc is not None else 0.0
+                clamp[i] = nc if nc is not None else -1.0
                 admitted = True
             if admitted:
                 state = engine.prefill_tokens(state, tokens, t_valid)
@@ -332,10 +331,11 @@ class ContinuousBatcher:
             #    dispatch: routing must credit the frames to the segments that
             #    were resident at dispatch time.
             # free slots keep lsd=1 so an idle lane never raises the batch's
-            # static step ceiling
+            # static step ceiling (and drop any stale clamp override)
             for i, s in enumerate(slots):
                 if s.free:
                     lsd[i] = 1
+                    clamp[i] = -1.0
             # Batches where every active slot matches the server DEFAULTS (the
             # common case: nobody overrides lsd/noise_clamp) take the plain
             # static decode — the per-slot vec program pays ~10% for masked
@@ -346,7 +346,7 @@ class ContinuousBatcher:
             # thread, stalling every in-flight stream.
             gen = self.model.gen
             base = (max(1, gen.lsd_decode_steps),
-                    gen.noise_clamp if gen.noise_clamp is not None else 0.0)
+                    gen.noise_clamp if gen.noise_clamp is not None else -1.0)
             act_idx = [i for i, s in enumerate(slots) if not s.free]
             default_only = all((int(lsd[i]), float(clamp[i])) == base
                                for i in act_idx)

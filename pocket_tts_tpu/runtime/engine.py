@@ -138,13 +138,12 @@ class Engine:
         self._reset = jax.jit(self._reset_impl, static_argnames=("batch",))
 
         # Stage parallelism (opt-in): AR scan and Mimi codec on separate
-        # devices, overlapped by the host dispatch pipeline.
+        # devices, overlapped by the host dispatch pipeline.  Enabled by
+        # TTSModel (via POCKET_TTS_STAGE_CODEC) — not here: the engine cannot
+        # know whether its consumer is the single-stream TTS path or a
+        # batch_size=1 ContinuousBatcher, whose slot admission never routes
+        # state through reset_for_segment's per-device placement.
         self._codec_device = None
-        import os
-
-        if (os.environ.get("POCKET_TTS_STAGE_CODEC", "0") == "1"
-                and batch_size == 1 and len(jax.devices()) > 1):
-            self.enable_staged_codec(jax.devices()[1])
 
     # -- state ------------------------------------------------------------
     # State creation runs jitted: on this machine every *eager* op round-trips
@@ -556,8 +555,9 @@ class Engine:
         continuous batcher; default broadcasts the request GenParams.
         ``window``: static attention window (see _decode_impl).
         ``lsd_vec`` / ``clamp_vec``: per-slot lsd_decode_steps / noise clamp
-        (0 = unclamped) — the static step ceiling is the batch max rounded up
-        to a power of two, bounding compiled-variant count at log2(max_lsd)."""
+        (< 0 = unclamped; 0 = hard zero-clamp, like scalar noise_clamp=0.0) —
+        the static step ceiling is the batch max rounded up to a power of
+        two, bounding compiled-variant count at log2(max_lsd)."""
         b = state["pos"].shape[0]
         if temps is None:
             temps = np.full((b,), gen.temp, np.float32)
@@ -566,10 +566,14 @@ class Engine:
         if lsd_vec is not None or clamp_vec is not None:
             if lsd_vec is None:
                 lsd_vec = np.full((b,), gen.lsd_decode_steps, np.int32)
+            if np.any(np.asarray(lsd_vec) < 1):
+                # 0 would negative-index the time-embedding tables and emit
+                # raw noise as the slot's latent — fail at the API boundary
+                raise ValueError(f"lsd_vec entries must be >= 1, got {lsd_vec}")
             if clamp_vec is None:
                 clamp_vec = np.full(
-                    (b,), gen.noise_clamp if gen.noise_clamp is not None else 0.0,
-                    np.float32)
+                    (b,), gen.noise_clamp if gen.noise_clamp is not None
+                    else -1.0, np.float32)
             lsd_steps = 1 << (int(max(1, lsd_vec.max())) - 1).bit_length()
             gen_args = (jnp.asarray(temps, jnp.float32),
                         jnp.asarray(clamp_vec, jnp.float32),

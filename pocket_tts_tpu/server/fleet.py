@@ -127,7 +127,8 @@ def create_router_app(state: FleetState):
             prepared = False
             try:
                 async with sess.post(
-                    w.url + request.path, data=body,
+                    # path_qs: forward the query string too, not just the path
+                    w.url + request.path_qs, data=body,
                     headers={"Content-Type":
                              request.headers.get("Content-Type",
                                                  "application/json")},

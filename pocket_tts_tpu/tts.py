@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from pathlib import Path
 from typing import Iterator
@@ -66,6 +67,13 @@ class TTSModel:
         self.has_real_weights = has_real_weights
         self.is_quantized = False
         self.engine = Engine(cfg, params, batch_size=1)
+        # staged codec opt-in lives HERE, not in Engine.__init__: only the
+        # single-stream TTS path routes state through reset_for_segment's
+        # device placement; a ContinuousBatcher's engine (even batch_size=1)
+        # must keep the fused single-device program
+        if (os.environ.get("POCKET_TTS_STAGE_CODEC", "0") == "1"
+                and len(jax.devices()) > 1):
+            self.engine.enable_staged_codec(jax.devices()[1])
         self.tokenizer = text_mod.load_tokenizer(None)
         # mutable holder so with_params() clones share and ADVANCE one RNG
         # stream (torch's process-global generator semantics in the reference)

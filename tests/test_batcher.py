@@ -192,3 +192,30 @@ def test_stats_counters(batcher):
     assert s["requests_submitted"] >= s["requests_completed"]
     assert s["frames_decoded"] > 0 and s["dispatches"] > 0
     assert s["active_requests"] == 0 and not s["dead"]
+
+
+def test_zero_noise_clamp_batched_matches_single(model, batcher):
+    """noise_clamp=0.0 is a HARD zero-clamp (deterministic zero noise), not
+    'unclamped'.  Regression: the batched path encoded None as 0.0, so a
+    request with an explicit 0 rode the batch as unclamped full-Gaussian
+    noise while the single-flight path produced zero noise — same API input,
+    two different outputs depending on routing."""
+    text = "Zero clamp means zero noise."
+    want = model.with_params(temp=0.7, noise_clamp=0.0).generate_with_pauses(text)
+    # sanity: clamp 0 == no noise at all == the temp=0 output
+    base = model.generate_with_pauses(text)
+    np.testing.assert_allclose(want, base, atol=1e-5)
+    got = batcher.generate(text, gen=GenParams(temp=0.7, noise_clamp=0.0))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_decode_frames_rejects_zero_lsd(model):
+    """lsd_vec entries < 1 would negative-index the time-embedding tables and
+    emit raw noise as that slot's latent; the engine must fail loudly."""
+    eng = model.engine
+    state = eng.new_state(1)
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="lsd_vec"):
+        eng.decode_frames(state, key, 2, model.gen,
+                          lsd_vec=np.zeros((1,), np.int32))

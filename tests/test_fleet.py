@@ -154,3 +154,34 @@ def test_fleet_degraded_worker_not_marked_healthy(model):
         loop.run_until_complete(stub_srv.close())
         loop.run_until_complete(real_srv.close())
         loop.close()
+
+
+def test_fleet_forwards_query_string(model):
+    """The proxy must forward the query string (request.path_qs), not just the
+    path — regression: /generate?trace=1 reached workers as bare /generate."""
+    loop = asyncio.new_event_loop()
+
+    seen = []
+
+    async def echo(request):
+        seen.append(request.path_qs)
+        return web.Response(body=b"ok", content_type="audio/wav")
+
+    stub = web.Application()
+    stub.router.add_post("/generate", echo)
+    srv = TestServer(stub)
+    loop.run_until_complete(srv.start_server())
+    state = FleetState([str(srv.make_url("/"))[:-1]])
+    client = TestClient(TestServer(create_router_app(state)), loop=loop)
+    loop.run_until_complete(client.start_server())
+
+    async def go():
+        resp = await client.post("/generate?trace=1&x=a%20b",
+                                 json={"text": "hi"})
+        assert resp.status == 200
+
+    loop.run_until_complete(go())
+    loop.run_until_complete(client.close())
+    loop.run_until_complete(srv.close())
+    loop.close()
+    assert seen == ["/generate?trace=1&x=a%20b"]

@@ -82,3 +82,25 @@ def test_staged_outputs_live_on_codec_device(params):
     assert list(audio.devices()) == [dev]
     assert list(jax.tree.leaves(st["mimi"])[0].devices()) == [dev]
     assert list(st["kc"].devices()) == [jax.devices()[0]]
+
+
+def test_stage_codec_env_enables_tts_not_batcher(params, monkeypatch):
+    """POCKET_TTS_STAGE_CODEC=1 opts the single-stream TTSModel into the
+    staged split, but must NOT capture a ContinuousBatcher's engine (even at
+    batch_size=1): the batcher's slot admission never routes state through
+    reset_for_segment's per-device placement, so a staged engine there would
+    mix devices inside one decode call and crash the loop."""
+    from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
+
+    monkeypatch.setenv("POCKET_TTS_STAGE_CODEC", "1")
+    m = TTSModel(CFG, params, gen=GenParams(temp=0.0), has_real_weights=False)
+    assert m.engine._codec_device is not None
+    b = ContinuousBatcher(m, batch_size=1, chunk_frames=4)
+    assert b.engine._codec_device is None
+    # and the batcher still works end-to-end under the env var
+    b.start()
+    try:
+        out = b.generate("Short check.")
+        assert out.size > 0 and np.isfinite(out).all()
+    finally:
+        b.stop()
