@@ -94,8 +94,16 @@ class TTSModel:
         noise_clamp: float | None = DEFAULT_NOISE_CLAMP,
         eos_threshold: float = DEFAULT_EOS_THRESHOLD,
         seed: int = 0,
+        voice_prompt_chunk_frames: int | None = None,
     ) -> "TTSModel":
+        """``voice_prompt_chunk_frames`` overrides the streaming voice-encode
+        chunk size (the reference's load-time knob, tts_model.rs:59/:562-577);
+        None keeps the config default (240 frames)."""
         cfg = load_variant(variant)
+        if voice_prompt_chunk_frames is not None:
+            cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
+                cfg.runtime,
+                voice_prompt_chunk_frames=voice_prompt_chunk_frames))
         plans = MimiPlans(cfg.mimi)
         params, real = weights_mod.load_params(cfg, plans, variant=variant)
         gen = GenParams(temp=temp, lsd_decode_steps=lsd_decode_steps,
