@@ -193,6 +193,18 @@ class RuntimeConfig:
     # variant serves any prompt length with carried streaming state.
     voice_prompt_chunk_frames: int = 240
 
+    def __post_init__(self):
+        # a typo like "fused"/"Auto" would otherwise silently degrade to the
+        # chunked path (tts._SegmentRun only recognizes "auto")
+        if self.segment_dispatch not in ("auto", "chunked"):
+            raise ValueError(
+                f"runtime.segment_dispatch must be 'auto' or 'chunked', "
+                f"got {self.segment_dispatch!r}")
+        if self.compute_dtype not in ("auto", "bfloat16", "float32"):
+            raise ValueError(
+                f"runtime.compute_dtype must be 'auto', 'bfloat16' or "
+                f"'float32', got {self.compute_dtype!r}")
+
 
 @dataclasses.dataclass(frozen=True)
 class Config:

@@ -520,8 +520,10 @@ class Engine:
 
         Single-stream engines only — the continuous batcher keeps the fused
         single-device program (its slot admission writes into the Mimi state
-        in the same program as the FlowLM cache).  Numerics are identical to
-        the fused program (same ops, same order; see tests/test_stages.py).
+        in the same program as the FlowLM cache).  Numerics match the chunked
+        single-device program exactly op-for-op; vs the fused-segment
+        while_loop program, differences stay within 1 int16 PCM LSB
+        (see tests/test_stages.py).
         """
         if self.batch != 1:
             raise ValueError("staged codec supports batch_size=1 engines; "

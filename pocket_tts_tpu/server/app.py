@@ -80,6 +80,8 @@ def create_app(state: ServerState):
         if val is None or val == "":
             return default
         try:
+            if isinstance(val, bool):  # json true/false would pass int() as 1/0
+                raise ValueError(name)
             return int(val)
         except (TypeError, ValueError):
             raise web.HTTPBadRequest(
@@ -141,9 +143,15 @@ def create_app(state: ServerState):
         data = await _generate_wav(body)
         return web.Response(body=data, content_type="audio/wav")
 
-    @routes.post("/stream")
-    async def stream(request):
-        body = await request.json()
+    async def _stream_audio(request, body: dict, *, wav_compat: bool = False):
+        """Shared chunked-streaming path.
+
+        ``wav_compat=False`` (POST /stream): raw s16le PCM chunks.
+        ``wav_compat=True`` (POST /tts with compat=python): the oracle's
+        streaming-WAV contract (python-reference main.py:114-171,
+        data/audio.py:37-126) — a WAV header with a sentinel frame count,
+        the first bytes held back until FIRST_CHUNK_LENGTH_SECONDS of audio
+        is buffered, and 200 ms of trailing silence appended."""
         model = state.model_with_overrides(body)
         text = body.get("text", "")
         if not str(text).strip():
@@ -156,8 +164,20 @@ def create_app(state: ServerState):
         voice = await loop0.run_in_executor(state.pool, state.resolve,
                                             body.get("voice"))
 
-        resp = web.StreamResponse(
-            headers={"Content-Type": "audio/pcm;rate=24000;encoding=signed-int;bits=16"})
+        if wav_compat:
+            import os
+
+            sr = state.model.sample_rate
+            prebuffer_bytes = 2 * int(
+                sr * float(os.environ.get("FIRST_CHUNK_LENGTH_SECONDS", "0")))
+            trailing = bytes(2 * int(sr * 0.2))
+            headers = {"Content-Type": "audio/wav",
+                       "Content-Disposition":
+                           "attachment; filename=generated_speech.wav"}
+        else:
+            headers = {"Content-Type":
+                       "audio/pcm;rate=24000;encoding=signed-int;bits=16"}
+        resp = web.StreamResponse(headers=headers)
         await resp.prepare(request)
 
         import threading
@@ -201,6 +221,10 @@ def create_app(state: ServerState):
 
         ctx = (contextlib.nullcontext()
                if state.batcher is not None and cont <= 0 else state.lock)
+        held: list[bytes] = []  # wav_compat pre-buffer (header + first bytes)
+        held_size = 0
+        if wav_compat:
+            held.append(audio_io.wav_header(state.model.sample_rate))
         async with ctx:
             task = loop.run_in_executor(state.pool, producer)
             try:
@@ -210,24 +234,49 @@ def create_app(state: ServerState):
                         break
                     if isinstance(item, Exception):
                         break
+                    if held is not None and wav_compat:
+                        held.append(item)
+                        held_size += len(item)
+                        if held_size >= prebuffer_bytes:
+                            await resp.write(b"".join(held))
+                            held = None
+                        continue
                     await resp.write(item)
             finally:
                 cancelled.set()  # unblock the producer on any exit path
                 while not queue.empty():  # drain so pending puts resolve
                     queue.get_nowait()
                 await task
+        if wav_compat:
+            if held is not None:  # short utterance never hit the threshold
+                await resp.write(b"".join(held))
+            await resp.write(trailing)
         await resp.write_eof()
         return resp
 
+    @routes.post("/stream")
+    async def stream(request):
+        body = await request.json()
+        return await _stream_audio(request, body)
+
     @routes.post("/tts")
     async def tts(request):
-        """Python-reference-compatible multipart endpoint (main.py:114-171)."""
+        """Python-reference-compatible multipart endpoint (main.py:114-171).
+
+        Response contract: by default a COMPLETE WAV (the Rust handler's
+        behavior, handlers.rs:312-372).  With ``compat=python`` (form or
+        JSON field) it instead follows the Python oracle's streaming-WAV
+        contract: chunked transfer, sentinel-length header,
+        FIRST_CHUNK_LENGTH_SECONDS pre-buffer, 200 ms trailing silence
+        (main.py:114-171, data/audio.py:37-126)."""
         body: dict = {}
         ctype = request.content_type
         if ctype.startswith("multipart") or ctype == "application/x-www-form-urlencoded":
             form = await request.post()
             if "text" in form:
                 body["text"] = str(form["text"])
+            if "compat" in form:
+                body["compat"] = str(form["compat"])
             if "voice_url" in form:
                 body["voice"] = str(form["voice_url"])
             if "voice_wav" in form:
@@ -239,6 +288,8 @@ def create_app(state: ServerState):
                 body["voice"] = b64.b64encode(raw).decode()
         else:
             body = await request.json()
+        if str(body.get("compat", "")).lower() == "python":
+            return await _stream_audio(request, body, wav_compat=True)
         data = await _generate_wav(body)
         return web.Response(body=data, content_type="audio/wav")
 

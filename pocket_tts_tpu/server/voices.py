@@ -1,9 +1,10 @@
 """Voice specification resolution + LRU voice-state cache.
 
 Resolution order (reference: crates/pocket-tts-cli/src/voice.rs):
-predefined names -> hf:// URI -> local .wav / .safetensors path -> base64 or
-data-URL WAV bytes.  Resolved states are cached in an LRU keyed by a spec hash
-(file keys include mtime+size so edits invalidate).
+predefined names -> hf:// URI -> http(s):// URL (network-gated) -> local
+.wav / .safetensors path -> base64 or data-URL WAV bytes.  Resolved states are
+cached in an LRU keyed by a spec hash (file keys include mtime+size so edits
+invalidate).
 """
 
 from __future__ import annotations
@@ -39,6 +40,8 @@ def voice_cache_key(spec: str) -> str:
         return f"stock:{spec}"
     if spec.startswith("hf://"):
         return f"hf:{spec}"
+    if spec.startswith(("http://", "https://")):
+        return f"url:{spec}"
     try:
         path = Path(spec)
         if len(spec) < 4096 and path.exists():
@@ -74,6 +77,8 @@ def resolve_voice(model: TTSModel, spec: str | None) -> VoiceState:
     if spec.startswith("hf://"):
         path = weights_mod.resolve_uri(spec)
         return _from_path(model, path)
+    if spec.startswith(("http://", "https://")):
+        return _from_url(model, spec)
     try:
         path = Path(spec)
         if len(spec) < 4096 and path.exists():
@@ -85,13 +90,43 @@ def resolve_voice(model: TTSModel, spec: str | None) -> VoiceState:
         return model.get_voice_state_from_wav(raw)
     raise ValueError(
         f"Cannot resolve voice {spec!r}: not a predefined name "
-        f"{list(PREDEFINED_VOICES)}, hf:// URI, existing file, or base64 WAV")
+        f"{list(PREDEFINED_VOICES)}, hf:// URI, http(s):// URL, existing "
+        f"file, or base64 WAV")
 
 
 def _from_path(model: TTSModel, path: Path) -> VoiceState:
     if path.suffix == ".safetensors":
         return model.get_voice_state_from_prompt_file(path)
     return model.get_voice_state_from_wav(path)
+
+
+def _from_url(model: TTSModel, url: str) -> VoiceState:
+    """Plain-URL voice (reference: voice.rs:171-222, oracle ``voice_url``).
+
+    Download is gated on POCKET_TTS_ONLINE=1 (this machine has no egress;
+    an ungated fetch would hang for the full socket timeout) — except
+    loopback URLs, which a local test server or sidecar cache serves."""
+    import os
+    import urllib.parse
+    import urllib.request
+
+    host = urllib.parse.urlparse(url).hostname or ""
+    local = host in ("localhost", "127.0.0.1", "::1")
+    if not local and os.environ.get("POCKET_TTS_ONLINE", "0") != "1":
+        raise ValueError(
+            f"URL voice {url!r} needs network access; set POCKET_TTS_ONLINE=1")
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        raw = resp.read()
+    if raw[:4] == b"RIFF":
+        return model.get_voice_state_from_wav(raw, truncate=True)
+    # not a WAV: treat as an audio_prompt safetensors artifact
+    from pocket_tts_tpu import weights as w
+
+    sd = w.load_safetensors_bytes(raw)
+    if "audio_prompt" not in sd:
+        raise ValueError(f"URL voice {url!r} is neither a WAV nor an "
+                         "audio_prompt safetensors")
+    return model.get_voice_state_from_prompt(sd["audio_prompt"])
 
 
 class VoiceStateCache:

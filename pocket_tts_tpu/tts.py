@@ -114,16 +114,12 @@ class TTSModel:
     def load_from_bytes(cls, weights_bytes: bytes,
                         variant: str = DEFAULT_VARIANT, **kwargs) -> "TTSModel":
         """Construct from in-memory safetensors bytes (the reference's WASM
-        loader entry, tts_model.rs:239-276)."""
-        import tempfile
-
+        loader entry, tts_model.rs:239-276).  Genuinely in-memory: the bytes
+        never touch the filesystem."""
         from pocket_tts_tpu.models.mimi import MimiPlans
 
         cfg = load_variant(variant)
-        with tempfile.NamedTemporaryFile(suffix=".safetensors") as f:
-            f.write(weights_bytes)
-            f.flush()
-            sd = weights_mod.load_safetensors(f.name)
+        sd = weights_mod.load_safetensors_bytes(weights_bytes)
         params = weights_mod.convert_tts_state_dict(sd, cfg, MimiPlans(cfg.mimi))
         gen = GenParams(**{k: v for k, v in kwargs.items()
                            if k in ("temp", "lsd_decode_steps", "noise_clamp",
@@ -407,7 +403,7 @@ class TTSModel:
         voice + continuation_frames + text + generation regardless of how many
         segments the utterance has.  Segments run serially — the conditioning
         data dependency removes the cross-segment pipelining of
-        _run_segments, trading ~5-10%% throughput for prosodic continuity.
+        _run_segments, trading ~5-10% throughput for prosodic continuity.
 
         ``tail_holder`` ({"audio": ndarray}) carries the tail in from (and
         back out to) the caller, so generate_stream_long can bridge it across

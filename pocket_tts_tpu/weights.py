@@ -67,6 +67,43 @@ def load_safetensors(path: str | Path) -> dict[str, np.ndarray]:
     return out
 
 
+_ST_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def load_safetensors_bytes(data: bytes) -> dict[str, np.ndarray]:
+    """In-memory variant of load_safetensors (same bf16 -> f32 cast).
+
+    Parses the safetensors layout directly (8-byte LE header length + JSON
+    header + packed data) because ``safetensors.numpy.load`` rejects BF16 —
+    the dtype the released checkpoint actually uses."""
+    import json
+    import struct
+
+    (header_len,) = struct.unpack_from("<Q", data, 0)
+    header = json.loads(data[8:8 + header_len])
+    base = 8 + header_len
+    out = {}
+    for key, meta in header.items():
+        if key == "__metadata__":
+            continue
+        start, end = meta["data_offsets"]
+        raw = data[base + start:base + end]
+        shape = meta["shape"]
+        if meta["dtype"] == "BF16":
+            u16 = np.frombuffer(raw, np.uint16).astype(np.uint32) << 16
+            t = u16.view(np.float32).reshape(shape)
+        else:
+            t = np.frombuffer(raw, _ST_DTYPES[meta["dtype"]]).reshape(shape)
+            if t.dtype != np.float32:
+                t = t.astype(np.float32)
+        out[key] = t
+    return out
+
+
 def _stack(sd: dict, prefix: str, n_layers: int, suffix: str) -> jnp.ndarray:
     return jnp.stack(
         [jnp.asarray(sd[f"{prefix}.layers.{i}.{suffix}"]) for i in range(n_layers)]

@@ -203,3 +203,53 @@ def test_malformed_continuation_frames_is_400(client):
                 go(route, {"text": "hi", "continuation_frames": bad}))
             assert status == 400, (route, bad)
             assert "continuation_frames" in body["error"]
+
+
+def test_continuation_frames_bool_is_400(client):
+    """JSON true/false must not silently coerce to 1/0 (advisor r2)."""
+    c, loop = client
+
+    async def go(val):
+        resp = await c.post("/generate", json={
+            "text": "Bool check.", "continuation_frames": val})
+        return resp.status
+
+    assert loop.run_until_complete(go(True)) == 400
+    assert loop.run_until_complete(go(False)) == 400
+
+
+def test_tts_python_compat_streaming_wav(client, monkeypatch):
+    """compat=python follows the oracle's streaming-WAV contract: chunked
+    WAV with sentinel-length header + 200 ms trailing silence
+    (python-reference main.py:114-171, data/audio.py:37-126)."""
+    monkeypatch.setenv("FIRST_CHUNK_LENGTH_SECONDS", "0.1")
+    c, loop = client
+
+    async def go():
+        default = await c.post("/tts", data={"text": "Contract check."})
+        assert default.status == 200
+        whole = await default.read()
+
+        resp = await c.post("/tts", data={"text": "Contract check.",
+                                          "compat": "python"})
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("audio/wav")
+        streamed = await resp.read()
+        return whole, streamed
+
+    whole, streamed = loop.run_until_complete(go())
+    # default: complete, correctly-sized WAV (Rust handler contract)
+    n_whole = _check_wav(whole)
+    assert len(whole) == 44 + 2 * n_whole
+    # compat: sentinel-length header (not patched after streaming)
+    assert streamed[:4] == b"RIFF"
+    import struct
+
+    data_size = struct.unpack_from("<I", streamed, 40)[0]
+    assert data_size >= 1_000_000_000  # sentinel, NOT the real length
+    pcm = streamed[44:]
+    sr = 24000
+    trailing = pcm[-int(0.2 * sr) * 2:]
+    assert trailing == bytes(len(trailing))  # 200 ms of appended silence
+    # audio payload = whole-WAV payload + the trailing silence
+    assert len(pcm) == 2 * n_whole + int(0.2 * sr) * 2

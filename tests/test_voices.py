@@ -115,3 +115,56 @@ class TestVoicePromptArtifacts:
         a = model.generate("Artifact round trip.", via_file)
         b = model.generate("Artifact round trip.", direct)
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestURLVoices:
+    """Plain http(s):// voice specs (reference voice.rs:171-222; the oracle's
+    voice_url accepts URLs, python-reference main.py:114-171)."""
+
+    @pytest.fixture()
+    def http_server(self, tmp_path):
+        import functools
+        import http.server
+        import threading
+
+        wav = np.random.default_rng(7).normal(size=24000).astype(np.float32) * 0.1
+        audio_io.write_wav(tmp_path / "voice.wav", wav, 24000)
+        (tmp_path / "not_audio.bin").write_bytes(b"\x00" * 64)
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=str(tmp_path))
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}", wav
+        srv.shutdown()
+        srv.server_close()
+
+    def test_cache_key(self):
+        assert voices.voice_cache_key("https://x.test/v.wav").startswith("url:")
+
+    def test_url_wav(self, model, http_server):
+        base, wav = http_server
+        vs = voices.resolve_voice(model, f"{base}/voice.wav")
+        assert vs.length > 0
+        direct = model.get_voice_state_from_audio(wav)
+        assert vs.length == direct.length
+
+    def test_url_prompt_safetensors(self, model, http_server, tmp_path):
+        from safetensors.numpy import save_file
+
+        base, _ = http_server
+        d = model.config.flow_lm.transformer.d_model
+        prompt = np.random.default_rng(8).normal(size=(1, 4, d)).astype(np.float32)
+        save_file({"audio_prompt": prompt}, str(tmp_path / "stock.safetensors"))
+        vs = voices.resolve_voice(model, f"{base}/stock.safetensors")
+        assert vs.length == 4
+
+    def test_url_garbage_rejected(self, model, http_server):
+        base, _ = http_server
+        with pytest.raises(Exception):
+            voices.resolve_voice(model, f"{base}/not_audio.bin")
+
+    def test_nonlocal_url_offline_is_clean_error(self, model, monkeypatch):
+        monkeypatch.delenv("POCKET_TTS_ONLINE", raising=False)
+        with pytest.raises(ValueError, match="POCKET_TTS_ONLINE"):
+            voices.resolve_voice(model, "https://example.com/v.wav")

@@ -124,3 +124,66 @@ def test_split_checkpoint_remaps():
     assert "mimi.encoder.model.0.conv.weight" in out
     assert "mimi.quantizer.output_proj.weight" in out
     assert not any("vq" in k or "logvar" in k for k in out)
+
+
+def test_load_safetensors_bytes_matches_file(tmp_path):
+    """In-memory loader (tts.load_from_bytes path) must equal the file loader,
+    including the bf16 -> f32 upcast of the released checkpoint."""
+    from safetensors.numpy import save_file
+    import ml_dtypes
+
+    _, sd = _combined_state_dict()
+    sd16 = {k: v.astype(ml_dtypes.bfloat16) for k, v in sd.items()}
+    path = tmp_path / "tts_bf16.safetensors"
+    save_file(sd16, str(path))
+    via_file = weights.load_safetensors(path)
+    via_bytes = weights.load_safetensors_bytes(path.read_bytes())
+    assert set(via_file) == set(via_bytes)
+    for k in via_file:
+        assert via_bytes[k].dtype == np.float32
+        np.testing.assert_array_equal(via_file[k], via_bytes[k])
+
+
+def test_load_from_bytes_never_touches_filesystem(tmp_path, monkeypatch):
+    """TTSModel.load_from_bytes is a true in-memory loader: constructing from
+    bytes must not create a temp file (VERDICT r2 #6)."""
+    import tempfile
+
+    from safetensors.numpy import save as st_save
+
+    from pocket_tts_tpu.tts import TTSModel
+
+    cfg, sd = _combined_state_dict()
+    data = st_save(sd)
+
+    def boom(*a, **k):
+        raise AssertionError("load_from_bytes wrote a temp file")
+
+    monkeypatch.setattr(tempfile, "NamedTemporaryFile", boom)
+    monkeypatch.setattr(tempfile, "mkstemp", boom)
+    params = weights.convert_tts_state_dict(
+        weights.load_safetensors_bytes(data), cfg, MimiPlans(cfg.mimi))
+    # full-path check on the model loader with the small config injected
+    import pocket_tts_tpu.tts as tts_mod
+
+    monkeypatch.setattr(tts_mod, "load_variant", lambda v: cfg)
+    model = TTSModel.load_from_bytes(data, temp=0.0)
+    assert model.has_real_weights
+    got = model.params["flow_lm"]["input_w"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(params["flow_lm"]["input_w"]))
+
+
+def test_runtime_config_validates_segment_dispatch():
+    import dataclasses
+
+    import pytest as _pytest
+
+    from pocket_tts_tpu.config import RuntimeConfig
+
+    with _pytest.raises(ValueError, match="segment_dispatch"):
+        RuntimeConfig(segment_dispatch="fused")
+    with _pytest.raises(ValueError, match="compute_dtype"):
+        RuntimeConfig(compute_dtype="fp32")
+    # valid values construct fine, including via dataclasses.replace
+    rc = RuntimeConfig(segment_dispatch="chunked")
+    assert dataclasses.replace(rc, segment_dispatch="auto").segment_dispatch == "auto"
