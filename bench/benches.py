@@ -104,6 +104,55 @@ def bench_voice(model):
         print(f"{seconds:3d}s prompt -> {vs.length:4d} frames in {dt:7.1f} ms")
 
 
+def bench_batched_latency(model, nb: int = 16):
+    """Batched streaming first-chunk latency under staggered arrivals (the
+    admission-ramp path), plus the aggregate throughput of the same batcher.
+    Occupancy 1 is served by the single-stream engine in the server
+    (occupancy-adaptive routing), so its latency is bench_streaming's."""
+    import random
+    import threading
+
+    from pocket_tts_tpu.runtime.batcher import batched_tts
+
+    print(f"== batched streaming first-chunk latency (B={nb}, staggered) ==")
+    b = batched_tts(model, batch_size=nb, chunk_frames=64, depth=2)
+    text = TEXTS["long"]
+    rng = random.Random(0)
+    lat_ms = []
+
+    def one(delay):
+        time.sleep(delay)
+        t0 = time.perf_counter()
+        it = b.stream(text)
+        next(it)
+        lat_ms.append((time.perf_counter() - t0) * 1000)
+        for _ in it:
+            pass
+
+    def run_pass():
+        threads = [threading.Thread(target=one, args=(rng.uniform(0, 2.5),))
+                   for _ in range(nb)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.perf_counter() - t0
+
+    run_pass()  # warm: compiles warm-chunk + window-bucket programs
+    lat_ms.clear()
+    wall = run_pass()
+    lat_ms.sort()
+    st = b.stats()
+    audio_s = st["frames_decoded"] * model.frame_size / model.sample_rate
+    print(f"p50 {lat_ms[len(lat_ms)//2]:.0f} ms  "
+          f"p90 {lat_ms[int(len(lat_ms)*0.9)]:.0f} ms  max {lat_ms[-1]:.0f} ms; "
+          f"last pass {wall:.2f}s wall "
+          f"({st['warm_dispatches']} warm dispatches total)")
+    print(f"(decoded {audio_s:.0f}s of slot-audio across both passes)")
+    b.stop()
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     model = _load()
@@ -115,6 +164,8 @@ def main():
         bench_attention(model)
     if which in ("all", "voice"):
         bench_voice(model)
+    if which in ("all", "batched"):
+        bench_batched_latency(model)
 
 
 if __name__ == "__main__":

@@ -109,3 +109,46 @@ def shard_state(state: dict, mesh: Mesh) -> dict:
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, state)
+
+
+def sharding_manifest(tree) -> dict[str, dict]:
+    """name -> {shape, spec, sharded} for every leaf of a placed pytree.
+
+    ``sharded`` is True only when the leaf is ACTUALLY distributed (its spec
+    names a mesh axis of size > 1).  _fit_spec silently drops axes that don't
+    divide a dim — correct, but a config change could quietly de-shard the FFN
+    with no numerical signal; this manifest is what tests assert against and
+    what the dryrun prints."""
+    out = {}
+
+    def visit(path, leaf):
+        name = _path_name(path)
+        sh = getattr(leaf, "sharding", None)
+        spec = getattr(sh, "spec", None)
+        mesh = getattr(sh, "mesh", None)
+        dist = False
+        if spec is not None and mesh is not None:
+            for axis in spec:
+                for ax in (axis if isinstance(axis, tuple) else (axis,)):
+                    if ax is not None and dict(mesh.shape).get(ax, 1) > 1:
+                        dist = True
+        out[name] = {"shape": tuple(leaf.shape),
+                     "spec": str(spec) if spec is not None else None,
+                     "sharded": dist}
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    return out
+
+
+def format_shard_report(tree, min_bytes: int = 1 << 20) -> str:
+    """Sharded leaves + replicated leaves above ``min_bytes`` (the ones a
+    silent de-shard would matter for), one line each."""
+    man = sharding_manifest(tree)
+    lines = []
+    for name, info in sorted(man.items()):
+        nbytes = int(np.prod(info["shape"])) * 4
+        if info["sharded"]:
+            lines.append(f"  sharded    {name} {info['shape']} {info['spec']}")
+        elif nbytes >= min_bytes:
+            lines.append(f"  REPLICATED {name} {info['shape']} ({nbytes >> 20} MiB)")
+    return "\n".join(lines) or "  (nothing sharded)"

@@ -50,6 +50,15 @@ class _Segment:
     max_frames: int = 0
     frames_after_eos: int = 0
     silence_samples: int = 0
+    # True only for the FIRST text segment of a latency-sensitive (streaming)
+    # request: the one whose first chunk gates time-to-first-audio.  Later
+    # segments emit behind seconds of already-buffered audio, and whole-WAV
+    # requests only care about completion time — neither warrants slowing
+    # the batch down to a warm chunk.
+    ramp: bool = False
+    seq: int = 0  # global submission order (FIFO within a priority class)
+    # bumped on preemption so stale in-flight chunks stop crediting frames
+    epoch: int = 0
     # filled during decode
     chunks: list = dataclasses.field(default_factory=list)
     done: bool = False
@@ -60,6 +69,7 @@ class _Request:
     voice: VoiceState
     gen: GenParams
     out: queue.Queue
+    latency_sensitive: bool = False  # streaming consumer (vs whole-WAV)
     segments: list = dataclasses.field(default_factory=list)
     emitted_upto: int = 0  # next segment index to stream out
     finished: bool = False
@@ -107,10 +117,28 @@ class ContinuousBatcher:
     """Owns a batched Engine and a background decode thread."""
 
     def __init__(self, model: TTSModel, batch_size: int = 4,
-                 chunk_frames: int = 8, seed: int = 0, depth: int = 2):
+                 chunk_frames: int = 8, seed: int = 0, depth: int = 2,
+                 warm_chunk: int | None = None):
         self.model = model
         self.batch = batch_size
         self.chunk = chunk_frames
+        # Warm-up ramp: while any active slot is still "young" (dispatched
+        # fewer than ramp_frames), the loop uses this smaller chunk AND caps
+        # the pipeline to one in-flight dispatch.  Rationale (measured on the
+        # axon TPU, docs/performance.md): a steady-state dispatch at B=16 x
+        # chunk 64 holds the device ~280 ms and depth 2 keeps two in flight,
+        # so a newly admitted request's first audio could wait ~600 ms behind
+        # work it cannot preempt.  Small chunks bound that backlog to tens of
+        # ms while arrivals are in progress; once every slot has ~1 s of
+        # audio buffered client-side, the loop returns to the big chunk.
+        # None disables the ramp (warm == steady).
+        self.warm_chunk = min(warm_chunk or chunk_frames, chunk_frames)
+        self.ramp_frames = 2 * self.warm_chunk if self.warm_chunk < chunk_frames else 0
+        # mid-size chunk used while streaming requests are resident (see the
+        # chunk-size policy in _run_inner); equal to chunk_frames when the
+        # ramp is disabled so tests pinning chunk_frames see one size only
+        self.serve_chunk = (max(self.warm_chunk, chunk_frames // 2)
+                            if self.ramp_frames else chunk_frames)
         # pipeline depth: dispatches in flight before the oldest is fetched.
         # Measured on the axon TPU: each dispatch has ~30 ms fixed cost and
         # fetch blocks ~10 ms — depth 2 overlaps both with device compute.
@@ -126,16 +154,27 @@ class ContinuousBatcher:
         self._thread: threading.Thread | None = None
         self._dead = False
         self._active: set[_Request] = set()  # requests not yet finished
+        self._seq = 0  # submission counter (under _lock)
+        self._waiting_n = 0  # segments drained but not yet admitted
         # observability counters (written by the decode thread / submit)
-        self._stats = {"dispatches": 0, "frames_decoded": 0,
+        self._stats = {"dispatches": 0, "warm_dispatches": 0,
+                       "serve_dispatches": 0,
+                       "frames_decoded": 0, "preemptions": 0,
                        "requests_completed": 0, "requests_submitted": 0}
+
+    def idle(self) -> bool:
+        """True when no request is active or queued — the server routes
+        lone requests to the (~10x faster per-stream) single-stream engine
+        while this holds (occupancy-adaptive serving)."""
+        with self._lock:
+            return not self._active and self._submit.qsize() == 0
 
     def stats(self) -> dict:
         """Snapshot of the decode loop's counters plus live queue depths."""
         with self._lock:
             return {**self._stats,
                     "active_requests": len(self._active),
-                    "queued_segments": self._submit.qsize(),
+                    "queued_segments": self._submit.qsize() + self._waiting_n,
                     "batch_size": self.batch,
                     "chunk_frames": self.chunk,
                     "dead": self._dead}
@@ -155,12 +194,18 @@ class ContinuousBatcher:
             self._thread = None
 
     def submit(self, text: str, voice: VoiceState | None = None,
-               gen: GenParams | None = None, *, pauses: bool = True) -> queue.Queue:
+               gen: GenParams | None = None, *, pauses: bool = True,
+               latency_sensitive: bool = True) -> queue.Queue:
         """Enqueue a request; returns a queue of float32 chunks ending with a
         sentinel (use :meth:`stream` for an iterator).
 
         ``pauses=True`` gives generate_with_pauses semantics ([pause:Xms] and
-        natural comma/ellipsis silence); ``False`` matches plain generate."""
+        natural comma/ellipsis silence); ``False`` matches plain generate.
+
+        ``latency_sensitive=True`` (streaming consumers) gives the request's
+        first text segment the warm-chunk admission ramp so its first audio
+        surfaces in ~one small dispatch; ``False`` (whole-WAV consumers)
+        skips the ramp and optimizes pure completion time."""
         if not text or not text.strip():
             raise ValueError("Text prompt cannot be empty")
         if self._dead:
@@ -168,7 +213,8 @@ class ContinuousBatcher:
         if voice is None:
             voice = self.model.get_voice_state()
         gen = gen or self.model.gen
-        req = _Request(voice=voice, gen=gen, out=queue.Queue())
+        req = _Request(voice=voice, gen=gen, out=queue.Queue(),
+                       latency_sensitive=latency_sensitive)
 
         if pauses:
             parts = pause_mod.segment_text(text)
@@ -194,10 +240,15 @@ class ContinuousBatcher:
                         "voice prompt (%d frames) leaves only %d of %d "
                         "budgeted generation frames; audio may cut off",
                         voice.length, max(0, room), max_frames)
+                first_text = not any(s.kind == "text" for s in req.segments)
+                with self._lock:
+                    self._seq += 1
+                    seq = self._seq
                 seg = _Segment(req, index, "text", tokens=tokens,
                                n_tokens=n_tokens,
                                max_frames=max(0, min(max_frames, room)),
-                               frames_after_eos=fae + 2)
+                               frames_after_eos=fae + 2,
+                               ramp=latency_sensitive and first_text, seq=seq)
                 req.segments.append(seg)
                 index += 1
         if not req.segments:
@@ -236,7 +287,16 @@ class ContinuousBatcher:
 
     def generate(self, text: str, voice: VoiceState | None = None,
                  gen: GenParams | None = None, *, pauses: bool = True) -> np.ndarray:
-        chunks = list(self.stream(text, voice, gen, pauses=pauses))
+        out = self.submit(text, voice, gen, pauses=pauses,
+                          latency_sensitive=False)
+        chunks = []
+        while True:
+            item = out.get(timeout=300.0)
+            if item is _SENTINEL:
+                break
+            if isinstance(item, Exception):
+                raise item
+            chunks.append(item)
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
     # -- decode loop -----------------------------------------------------------
@@ -274,21 +334,55 @@ class ContinuousBatcher:
         # hard zero-clamp, so None must NOT be encoded as 0)
         lsd = np.ones((self.batch,), np.int32)
         clamp = np.full((self.batch,), -1.0, np.float32)
-        pending: list = []  # in-flight (owners, audio, is_eos) awaiting fetch
+        vecs = None        # device copies of the four per-slot vectors
+        vecs_dirty = True  # re-uploaded only when slot occupancy changes
+        waiting: list[_Segment] = []  # decode-thread-only admission queue
+        pending: list = []  # in-flight (owners, k, audio, is_eos) to fetch
 
         while not self._stop.is_set():
-            # 1. admit pending segments into free slots
+            # 0. drain new submissions into the priority queue: first
+            # segments of streaming requests admit before anything else
+            # (their first chunk gates time-to-first-audio); FIFO otherwise.
+            while True:
+                try:
+                    waiting.append(self._submit.get_nowait())
+                except queue.Empty:
+                    break
+            waiting.sort(key=lambda s: (not s.ramp, s.seq))
+
+            # 1a. latency preemption: a waiting ramp segment with no free
+            # slot evicts a NON-HEAD segment (a later segment of a request
+            # still streaming an earlier one — nothing it produced has been
+            # emitted).  The victim re-queues and restarts from its text
+            # prefill; the discarded frames are the price of bounded
+            # time-to-first-audio at full occupancy.  16 distinct streaming
+            # heads = true saturation: nothing is preemptable, arrivals wait.
+            free = [i for i, s in enumerate(slots) if s.free]
+            n_ramp_waiting = sum(1 for s in waiting if s.ramp)
+            while n_ramp_waiting > len(free):
+                victim_i = self._pick_victim(slots)
+                if victim_i is None:
+                    break
+                victim = slots[victim_i].segment
+                with self._lock:
+                    victim.epoch += 1  # stale in-flight routing ignores it
+                    victim.chunks.clear()
+                    self._stats["preemptions"] += 1
+                slots[victim_i].segment = None
+                waiting.append(victim)
+                free.append(victim_i)
+            waiting.sort(key=lambda s: (not s.ramp, s.seq))
+
+            # 1b. admit into free slots
             admitted = False
             t_valid = np.zeros((self.batch,), np.int32)
             tokens = np.zeros((self.batch, 1), np.int32)
             width = 1
-            for i, slot in enumerate(slots):
-                if not slot.free:
-                    continue
-                try:
-                    seg = self._submit.get_nowait()
-                except queue.Empty:
+            for i in free:
+                if not waiting:
                     break
+                seg = waiting.pop(0)
+                slot = slots[i]
                 state = engine.admit_slot(state, i, seg.request.voice.as_dict())
                 width = max(width, seg.tokens.shape[1])
                 t_valid[i] = seg.n_tokens
@@ -307,8 +401,10 @@ class ContinuousBatcher:
                 nc = seg.request.gen.noise_clamp
                 clamp[i] = nc if nc is not None else -1.0
                 admitted = True
+                vecs_dirty = True
             if admitted:
                 state = engine.prefill_tokens(state, tokens, t_valid)
+            self._waiting_n = len(waiting)
 
             active = [s for s in slots if not s.free]
             if not active:
@@ -318,12 +414,32 @@ class ContinuousBatcher:
                     break
                 continue
 
+            # Chunk-size policy, smallest applicable wins (each size is its
+            # own compiled program):
+            #   * warm chunk + depth 1 while any ramp slot is young — the
+            #     newcomer's first audio is never stuck behind deep in-flight
+            #     steady chunks;
+            #   * serve chunk (32) while any STREAMING request is resident —
+            #     it halves the in-flight device backlog a future arrival
+            #     must wait out (~550 ms -> ~300 ms at B=16) for ~10% of
+            #     aggregate throughput, and streaming consumers are the ones
+            #     that care about admission latency;
+            #   * throughput chunk (64) for pure whole-WAV load.
+            ramping = any(s.dispatched < self.ramp_frames and s.segment.ramp
+                          for s in active)
+            streamy = any(s.segment.request.latency_sensitive for s in active)
+            if ramping:
+                k, depth = self.warm_chunk, 1
+            elif streamy:
+                k, depth = min(self.serve_chunk, self.chunk), self.depth
+            else:
+                k, depth = self.chunk, self.depth
             # window must cover the DISPATCHED frontier, not the routed one —
             # with pipelining frames_done lags by up to depth chunks, and a
             # too-small window would clamp KV writes onto the window edge
             # (silent cache corruption)
             window = engine.window_for(
-                max(s.base_pos + s.dispatched for s in active), self.chunk)
+                max(s.base_pos + s.dispatched for s in active), k)
             # 2. dispatch one decode chunk over every slot; results of older
             #    chunks are fetched while newer ones compute (depth-N pipeline
             #    hides both the dispatch fixed cost and the device->host
@@ -336,6 +452,15 @@ class ContinuousBatcher:
                 if s.free:
                     lsd[i] = 1
                     clamp[i] = -1.0
+            # per-slot vectors live on device and re-upload only when slot
+            # occupancy changed — numpy arguments would otherwise ride the
+            # tunnel (~25 ms h2d each, async but queue-occupying) on EVERY
+            # dispatch
+            if vecs_dirty or vecs is None:
+                vecs = jax.device_put((temps.copy(), eos_th.copy(),
+                                       lsd.copy(), clamp.copy()))
+                vecs_dirty = False
+            d_temps, d_eos, d_lsd, d_clamp = vecs
             # Batches where every active slot matches the server DEFAULTS (the
             # common case: nobody overrides lsd/noise_clamp) take the plain
             # static decode — the per-slot vec program pays ~10% for masked
@@ -353,57 +478,91 @@ class ContinuousBatcher:
             self._key, key = jax.random.split(self._key)
             if default_only:
                 state, _, audio, is_eos = engine.decode_frames(
-                    state, key, self.chunk, gen, temps=temps,
-                    eos_thresholds=eos_th, window=window)
+                    state, key, k, gen, temps=d_temps,
+                    eos_thresholds=d_eos, window=window)
             else:
                 state, _, audio, is_eos = engine.decode_frames(
-                    state, key, self.chunk, gen, temps=temps,
-                    eos_thresholds=eos_th, window=window, lsd_vec=lsd,
-                    clamp_vec=clamp)
+                    state, key, k, gen, temps=d_temps,
+                    eos_thresholds=d_eos, window=window, lsd_vec=d_lsd,
+                    clamp_vec=d_clamp)
             for s in active:
-                s.dispatched += self.chunk
+                s.dispatched += k
             with self._lock:
                 self._stats["dispatches"] += 1
-                self._stats["frames_decoded"] += self.chunk * len(active)
-            pending.append(([s.segment for s in slots], audio, is_eos))
-            while len(pending) > self.depth:
-                self._route(slots, *pending.pop(0), frame_size)
+                if ramping:
+                    self._stats["warm_dispatches"] += 1
+                elif k < self.chunk:
+                    self._stats["serve_dispatches"] += 1
+                self._stats["frames_decoded"] += k * len(active)
+            owners = [(s.segment, s.segment.epoch) if s.segment else None
+                      for s in slots]
+            pending.append((owners, k, audio, is_eos))
+            while len(pending) > depth:
+                if self._route(slots, *pending.pop(0), frame_size):
+                    vecs_dirty = True  # a retirement changed slot occupancy
         while pending:
             self._route(slots, *pending.pop(0), frame_size)
 
-    def _route(self, slots, owners, audio, is_eos, frame_size) -> None:
-        """Fetch one chunk's results and route frames to their segments."""
+    @staticmethod
+    def _pick_victim(slots) -> int | None:
+        """Least-progress active slot whose segment has emitted nothing (a
+        later segment of a request still streaming an earlier one).  Head
+        segments — whose chunks may already be in the client's ears — and
+        ramp segments are never evicted."""
+        best, best_i = None, None
+        for i, s in enumerate(slots):
+            seg = s.segment
+            if seg is None or seg.ramp:
+                continue
+            if seg.index <= seg.request.emitted_upto:
+                continue
+            if best is None or s.frames_done < best:
+                best, best_i = s.frames_done, i
+        return best_i
+
+    def _route(self, slots, owners, k, audio, is_eos, frame_size) -> bool:
+        """Fetch one chunk's results and route frames to the segments that
+        owned each lane AT DISPATCH TIME.  Returns True if a slot retired
+        (occupancy changed).  An epoch mismatch means the owner was preempted
+        after this chunk was dispatched — its lane data is discarded."""
         audio, eos = jax.device_get((audio, is_eos))
         audio = np.asarray(audio).astype(np.float32) / 32767.0
         eos = np.asarray(eos)
+        freed = False
         with self._lock:
             touched_requests = set()
             for i, slot in enumerate(slots):
-                seg = owners[i]
-                if seg is None or seg.done:
+                if owners[i] is None:
+                    continue
+                seg, epoch = owners[i]
+                if seg.done or seg.epoch != epoch:
                     continue
                 if slot.eos_step is None:
                     hits = np.nonzero(eos[i])[0]
                     if hits.size:
                         slot.eos_step = slot.frames_done + int(hits[0])
-                emit = min(slot.target, slot.frames_done + self.chunk) \
+                emit = min(slot.target, slot.frames_done + k) \
                     - slot.frames_done
                 if emit > 0:
                     seg.chunks.append(audio[i, : emit * frame_size].copy())
-                slot.frames_done += self.chunk
+                slot.frames_done += k
                 if slot.frames_done >= slot.target:
                     seg.done = True
                     slot.segment = None
+                    freed = True
                 touched_requests.add(seg.request)
             for req in touched_requests:
                 req.pump()
                 if req.finished:
                     self._active.discard(req)
                     self._stats["requests_completed"] += 1
+        return freed
 
 
 def batched_tts(model: TTSModel, batch_size: int = 4,
-                chunk_frames: int = 8, depth: int = 2) -> ContinuousBatcher:
-    b = ContinuousBatcher(model, batch_size, chunk_frames, depth=depth)
+                chunk_frames: int = 8, depth: int = 2,
+                warm_chunk: int | None = None) -> ContinuousBatcher:
+    b = ContinuousBatcher(model, batch_size, chunk_frames, depth=depth,
+                          warm_chunk=warm_chunk or min(8, chunk_frames))
     b.start()
     return b

@@ -121,16 +121,22 @@ def create_app(state: ServerState):
         voice = await loop.run_in_executor(
             state.pool, state.resolve, body.get("voice"))
         cont = _int_field(body, "continuation_frames")
-        if state.batcher is not None and cont <= 0:
+        # Occupancy-adaptive routing: a lone request on an idle batched
+        # server takes the single-stream engine (~10x faster per stream than
+        # one slot of a B=16 batch); concurrent traffic rides the batch.
+        # locked() check + `async with` with no await between them is atomic
+        # on the event loop, so two coroutines cannot both pick single-stream.
+        if (state.batcher is not None and cont <= 0
+                and (state.lock.locked() or not state.batcher.idle())):
             # per-request lsd_decode_steps / noise_clamp ride the batch as
             # per-slot data (engine lsd_vec/clamp_vec) — no single-flight path
             wav = await loop.run_in_executor(
                 state.pool, lambda: state.batcher.generate(
                     str(text), voice, model.gen))
         else:
-            # continuation requests serialize: each segment's conditioning
-            # depends on the previous segment's fetched audio, which cannot
-            # ride the batch as per-slot data
+            # single-stream path: lone requests (occupancy 1) and
+            # continuation requests, whose per-segment conditioning depends
+            # on previously fetched audio and cannot ride the batch
             async with state.lock:
                 wav = await loop.run_in_executor(
                     state.pool, lambda: model.generate_with_pauses(
@@ -203,7 +209,7 @@ def create_app(state: ServerState):
 
         def producer():
             try:
-                if state.batcher is not None and cont <= 0:
+                if use_batcher:
                     source = state.batcher.stream(str(text), voice, model.gen)
                 else:
                     source = model.generate_stream_long(
@@ -219,8 +225,12 @@ def create_app(state: ServerState):
 
         import contextlib
 
-        ctx = (contextlib.nullcontext()
-               if state.batcher is not None and cont <= 0 else state.lock)
+        # occupancy-adaptive routing (see _generate_wav); decided here, with
+        # no await before the lock acquisition below, so the check is atomic
+        # on the event loop
+        use_batcher = (state.batcher is not None and cont <= 0
+                       and (state.lock.locked() or not state.batcher.idle()))
+        ctx = contextlib.nullcontext() if use_batcher else state.lock
         held: list[bytes] = []  # wav_compat pre-buffer (header + first bytes)
         held_size = 0
         if wav_compat:
@@ -325,7 +335,11 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
     if batch_size > 1:
         from pocket_tts_tpu.runtime.batcher import batched_tts
 
-        batcher = batched_tts(model, batch_size=batch_size)
+        # 64-frame steady chunks are the measured throughput knee at B=16;
+        # the admission ramp + serve chunk keep streaming first-chunk
+        # latency bounded (docs/performance.md "Batched serving latency")
+        batcher = batched_tts(model, batch_size=batch_size, chunk_frames=64,
+                              depth=2)
     state = ServerState(model, voice_cache_capacity=voice_cache_capacity,
                         default_voice=default_voice, batcher=batcher)
     state.resolve(default_voice)
@@ -334,6 +348,13 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
     if warmup:
         t0 = time.time()
         _ = model.generate("Warm up.", state.resolve(default_voice))
+        if batcher is not None:
+            # compiles the batched decode programs incl. the warm-chunk
+            # admission ramp, so the first real streamed request is not a
+            # cold compile
+            for _chunk in batcher.stream("Warm up.",
+                                         state.resolve(default_voice)):
+                pass
         logger.info("warmup generation in %.1fs", time.time() - t0)
 
     app = create_app(state)

@@ -1,0 +1,141 @@
+"""Flagship-dim oracle e2e parity: the EXACT production dims (b6369a24 —
+d_model 1024, 16 heads, 6 layers, FFN 4096, flow 512x6, Mimi 512) through the
+full pipeline against the PyTorch oracle with matched random weights, temp=0.
+
+The per-module and small-config e2e parity tests can't catch a bug that only
+manifests at production shapes (head-dim layout, bucket rounding, window
+interaction with the 1024-position cache); this one mirrors
+parity_tests.rs:436-518 with the oracle standing in for the golden assets
+(VERDICT r2 #4).  Slow (~2 min on CPU): builds the real ~90 MB model twice.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tests import oracle
+
+if not oracle.install_shims():
+    pytest.skip("oracle unavailable", allow_module_level=True)
+
+import torch  # noqa: E402
+
+import jax  # noqa: E402
+
+from pocket_tts_tpu import weights  # noqa: E402
+from pocket_tts_tpu.config import RuntimeConfig, load_variant  # noqa: E402
+from pocket_tts_tpu.models.mimi import MimiPlans  # noqa: E402
+from pocket_tts_tpu.runtime.engine import Engine, GenParams  # noqa: E402
+
+N_FRAMES = 4
+
+
+def _build_flagship_oracle(cfg):
+    from pocket_tts.conditioners.base import BaseConditioner
+    from pocket_tts.models.flow_lm import FlowLMModel
+    from pocket_tts.modules.mimi_transformer import StreamingTransformer
+    from pocket_tts.modules.mlp import SimpleMLPAdaLN
+
+    from tests.test_mimi_parity import _build_oracle_mimi
+
+    class LUT(BaseConditioner):
+        def __init__(self, n_bins, dim, output_dim):
+            super().__init__(dim=dim, output_dim=output_dim)
+            self.embed = torch.nn.Embedding(n_bins + 1, dim)
+
+    tcfg = cfg.flow_lm.transformer
+    fcfg = cfg.flow_lm.flow
+    ldim = cfg.mimi.quantizer.dimension
+    torch.manual_seed(70)
+    flow = FlowLMModel(
+        conditioner=LUT(cfg.flow_lm.lookup_table.n_bins,
+                        cfg.flow_lm.lookup_table.dim, tcfg.d_model),
+        flow_net=SimpleMLPAdaLN(ldim, fcfg.dim, ldim, tcfg.d_model,
+                                fcfg.depth, num_time_conds=2),
+        transformer=StreamingTransformer(
+            d_model=tcfg.d_model, num_heads=tcfg.num_heads,
+            num_layers=tcfg.num_layers, dim_feedforward=tcfg.dim_feedforward,
+            kind="flow_lm"),
+        dim=tcfg.d_model, ldim=ldim, dtype=torch.float32,
+    )
+    flow.speaker_proj_weight = torch.nn.Parameter(
+        torch.zeros(tcfg.d_model, cfg.mimi.seanet.dimension))
+    oracle.seed_torch_module(flow, 71)
+    mimi_m = _build_oracle_mimi(cfg.mimi)
+    return flow, mimi_m
+
+
+def test_flagship_dims_engine_matches_oracle_e2e():
+    cfg = load_variant("b6369a24")
+    # production model dims; small static budgets so the one-off CPU compile
+    # stays bounded (buckets are runtime packaging, not model architecture)
+    cfg = dataclasses.replace(cfg, runtime=RuntimeConfig(
+        max_seq=1024, text_buckets=(8,), prompt_buckets=(64,),
+        decode_chunks=(2, 2), compute_dtype="float32"))
+    flow_oracle, mimi_oracle = _build_flagship_oracle(cfg)
+    sd = {f"flow_lm.{k}": v
+          for k, v in oracle.torch_state_dict_to_numpy(flow_oracle).items()}
+    sd.update({f"mimi.{k}": v
+               for k, v in oracle.torch_state_dict_to_numpy(mimi_oracle).items()})
+    plans = MimiPlans(cfg.mimi)
+    params = weights.convert_tts_state_dict(sd, cfg, plans)
+
+    tokens = torch.tensor([[11, 402, 1777, 9, 3055, 42]])
+    ldim = cfg.mimi.quantizer.dimension
+
+    # ---- oracle loop: text prefill, framewise AR generate + codec decode ----
+    from functools import partial
+
+    from pocket_tts.models.flow_lm import lsd_decode
+    from pocket_tts.modules.stateful_module import increment_steps, init_states
+
+    with torch.no_grad():
+        st = init_states(flow_oracle, 1, 1000)
+        mimi_st = init_states(mimi_oracle, 1, 1000)
+
+        def run_tf(x_emb):
+            y = flow_oracle.transformer(x_emb, st)
+            y = flow_oracle.out_norm(y)
+            increment_steps(flow_oracle, st, x_emb.shape[1])
+            return y
+
+        run_tf(flow_oracle.conditioner.embed(tokens))
+        latent = flow_oracle.bos_emb[None, None, :].clone()
+        audio_chunks, latents = [], []
+        for _ in range(N_FRAMES):
+            h = run_tf(flow_oracle.input_linear(latent))[:, -1]
+            nxt = lsd_decode(partial(flow_oracle.flow_net, h),
+                             torch.zeros(1, ldim), 1)
+            denorm = (nxt[:, None, :] * flow_oracle.emb_std
+                      + flow_oracle.emb_mean)
+            q = mimi_oracle.quantizer(denorm.transpose(-1, -2))
+            frame = mimi_oracle.decode_from_latent(q, mimi_st)
+            increment_steps(mimi_oracle, mimi_st, 16)
+            audio_chunks.append(frame.numpy())
+            latents.append(nxt.numpy())
+            latent = nxt[:, None, :]
+        ref_audio = np.concatenate(audio_chunks, -1)[0, 0]
+
+    # ---- engine: bucketed prefill + chunked scan + grouped codec decode ----
+    engine = Engine(cfg, params, batch_size=1)
+    state = engine.new_state()
+    state = engine.prefill_tokens(state, np.asarray(tokens.numpy(), np.int32),
+                                  int(tokens.shape[1]))
+    key = jax.random.PRNGKey(0)
+    gen = GenParams(temp=0.0)  # noise == 0 -> deterministic
+    got = []
+    for k in (2, 2):
+        state, key, audio, _ = engine.decode_frames(state, key, k, gen)
+        got.append(np.asarray(jax.device_get(audio))[0]
+                   .astype(np.float32) / 32767.0)
+    got_audio = np.concatenate(got)
+
+    assert got_audio.shape == ref_audio.shape
+    # final AR latent: the quantity the whole feedback loop runs on
+    got_latent = np.asarray(jax.device_get(state["latent"]))
+    np.testing.assert_allclose(got_latent, latents[-1], atol=2e-4, rtol=1e-3)
+    # int16 transport quantizes to ~3e-5; production-width f32 reductions and
+    # 4 AR feedback steps bound the rest
+    assert np.abs(got_audio - ref_audio).max() < 1e-3, \
+        np.abs(got_audio - ref_audio).max()

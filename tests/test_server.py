@@ -253,3 +253,52 @@ def test_tts_python_compat_streaming_wav(client, monkeypatch):
     assert trailing == bytes(len(trailing))  # 200 ms of appended silence
     # audio payload = whole-WAV payload + the trailing silence
     assert len(pcm) == 2 * n_whole + int(0.2 * sr) * 2
+
+
+def test_occupancy_adaptive_routing(model):
+    """A lone request on an idle batched server takes the single-stream
+    engine; traffic arriving while it is busy rides the batcher (VERDICT r2
+    #2).  Routing is observable through the batcher's submit counter."""
+    import asyncio
+
+    from pocket_tts_tpu.runtime.batcher import batched_tts
+
+    batcher = batched_tts(model, batch_size=2, chunk_frames=4)
+    loop = asyncio.new_event_loop()
+    state = ServerState(model, batcher=batcher)
+    app = create_app(state)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def lone():
+            resp = await c_post("Lone request routing.")
+            assert resp.status == 200
+
+        async def c_post(text):
+            return await client.post("/generate", json={"text": text})
+
+        loop.run_until_complete(lone())
+        assert batcher.stats()["requests_submitted"] == 0  # single-stream path
+
+        async def busy():
+            # hold the single-stream lock: the request must ride the batcher
+            async with state.lock:
+                resp = await c_post("Busy server routing.")
+                assert resp.status == 200
+
+        loop.run_until_complete(busy())
+        assert batcher.stats()["requests_submitted"] == 1
+
+        async def concurrent():
+            # two simultaneous requests: at most one takes single-stream
+            r1, r2 = await asyncio.gather(
+                c_post("Concurrent request one."),
+                c_post("Concurrent request two."))
+            assert r1.status == 200 and r2.status == 200
+
+        loop.run_until_complete(concurrent())
+        assert batcher.stats()["requests_submitted"] >= 2
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+        batcher.stop()

@@ -81,3 +81,48 @@ def test_sharded_equals_single_device(tp):
     assert np.abs(sh_audio.astype(np.int32)
                   - ref_audio.astype(np.int32)).max() <= 1
     np.testing.assert_allclose(sh_latent, ref_latent, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("tp", [2, 8])
+def test_flagship_dims_sharded_equals_single_device(tp):
+    """The REAL b6369a24 dims (d_model 1024, 16 heads, FFN 4096, Mimi 512)
+    compiled and executed over the virtual mesh must match single-device
+    numerics — the tiny config exercises topology, this exercises the
+    production shapes (VERDICT r2 #3).  tp=4 is covered by the dryrun."""
+    from pocket_tts_tpu.config import load_variant
+    from pocket_tts_tpu.parallel.mesh import make_mesh
+
+    cfg = load_variant("b6369a24")
+    ref_audio, ref_latent = _run_generation(cfg, mesh=None, batch=2)
+    sh_audio, sh_latent = _run_generation(cfg, mesh=make_mesh(8, tp=tp), batch=2)
+    assert np.abs(sh_audio.astype(np.int32)
+                  - ref_audio.astype(np.int32)).max() <= 1
+    np.testing.assert_allclose(sh_latent, ref_latent, atol=2e-4, rtol=1e-3)
+
+
+def test_flagship_sharding_manifest():
+    """Guard against silent de-sharding: at flagship dims every transformer
+    matmul group must be ACTUALLY distributed for all supported tp (a config
+    change that stops a dim dividing tp would otherwise quietly replicate,
+    with zero numerical signal — mesh._fit_spec drops such axes by design)."""
+    import __graft_entry__ as ge
+    from pocket_tts_tpu.config import load_variant
+    from pocket_tts_tpu.parallel.mesh import (
+        make_mesh, shard_params, sharding_manifest)
+
+    cfg = load_variant("b6369a24")
+    params = ge._build(cfg)[1]
+    expected = [
+        "flow_lm/tf/in_proj", "flow_lm/tf/out_proj",
+        "flow_lm/tf/ff1", "flow_lm/tf/ff2",
+        "mimi/enc_tf/layers/in_proj", "mimi/enc_tf/layers/out_proj",
+        "mimi/enc_tf/layers/ff1", "mimi/enc_tf/layers/ff2",
+        "mimi/dec_tf/layers/in_proj", "mimi/dec_tf/layers/out_proj",
+        "mimi/dec_tf/layers/ff1", "mimi/dec_tf/layers/ff2",
+    ]
+    for tp in (2, 4, 8):
+        mesh = make_mesh(8, tp=tp)
+        man = sharding_manifest(shard_params(params, mesh))
+        sharded = {k for k, v in man.items() if v["sharded"]}
+        missing = [k for k in expected if k not in sharded]
+        assert not missing, f"tp={tp}: silently de-sharded: {missing}"
