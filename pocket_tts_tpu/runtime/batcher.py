@@ -160,7 +160,8 @@ class ContinuousBatcher:
         self._stats = {"dispatches": 0, "warm_dispatches": 0,
                        "serve_dispatches": 0,
                        "frames_decoded": 0, "preemptions": 0,
-                       "requests_completed": 0, "requests_submitted": 0}
+                       "requests_completed": 0, "requests_submitted": 0,
+                       "requests_cancelled": 0}
 
     def idle(self) -> bool:
         """True when no request is active or queued — the server routes
@@ -215,6 +216,7 @@ class ContinuousBatcher:
         gen = gen or self.model.gen
         req = _Request(voice=voice, gen=gen, out=queue.Queue(),
                        latency_sensitive=latency_sensitive)
+        req.out._pocket_request = req  # lets stream() cancel on disconnect
 
         if pauses:
             parts = pause_mod.segment_text(text)
@@ -276,14 +278,33 @@ class ContinuousBatcher:
                gen: GenParams | None = None,
                timeout: float = 300.0, *, pauses: bool = True
                ) -> Iterator[np.ndarray]:
+        """Iterator of audio chunks.  Abandoning the iterator (client
+        disconnect) CANCELS the request: its remaining segments retire
+        instead of decoding to completion in occupied slots."""
         req_out = self.submit(text, voice, gen, pauses=pauses)
-        while True:
-            item = req_out.get(timeout=timeout)
-            if item is _SENTINEL:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        req = getattr(req_out, "_pocket_request", None)
+        try:
+            while True:
+                item = req_out.get(timeout=timeout)
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            if req is not None and not req.finished:
+                self._cancel(req)
+
+    def _cancel(self, req: "_Request") -> None:
+        """Abandon a request: mark every segment done (admission drops them,
+        in-flight routing skips them, the loop-top sweep frees their slots)."""
+        with self._lock:
+            for seg in req.segments:
+                seg.done = True
+                seg.chunks.clear()
+            req.finished = True
+            self._active.discard(req)
+            self._stats["requests_cancelled"] += 1
 
     def generate(self, text: str, voice: VoiceState | None = None,
                  gen: GenParams | None = None, *, pauses: bool = True) -> np.ndarray:
@@ -348,6 +369,12 @@ class ContinuousBatcher:
                     waiting.append(self._submit.get_nowait())
                 except queue.Empty:
                     break
+            # cancelled requests: their segments are marked done — free any
+            # slot they occupy and drop them from the admission queue
+            for s in slots:
+                if s.segment is not None and s.segment.done:
+                    s.segment = None
+            waiting = [s for s in waiting if not s.done]
             waiting.sort(key=lambda s: (not s.ramp, s.seq))
 
             # 1a. latency preemption: a waiting ramp segment with no free
@@ -379,9 +406,14 @@ class ContinuousBatcher:
             tokens = np.zeros((self.batch, 1), np.int32)
             width = 1
             for i in free:
-                if not waiting:
+                seg = None
+                while waiting:  # skip segments cancelled since the drain
+                    cand = waiting.pop(0)
+                    if not cand.done:
+                        seg = cand
+                        break
+                if seg is None:
                     break
-                seg = waiting.pop(0)
                 slot = slots[i]
                 state = engine.admit_slot(state, i, seg.request.voice.as_dict())
                 width = max(width, seg.tokens.shape[1])

@@ -214,10 +214,15 @@ def create_app(state: ServerState):
                 else:
                     source = model.generate_stream_long(
                         str(text), voice, continuation_frames=cont)
-                for chunk in source:
-                    if not put(audio_io.pcm_i16_le_bytes(chunk)):
-                        logger.info("stream client gone; aborting generation")
-                        return
+                try:
+                    for chunk in source:
+                        if not put(audio_io.pcm_i16_le_bytes(chunk)):
+                            logger.info("stream client gone; aborting generation")
+                            return
+                finally:
+                    # deterministic cancellation (the batcher retires the
+                    # request's remaining segments), not GC-timed
+                    source.close()
                 put(None)
             except Exception as e:  # noqa: BLE001
                 logger.exception("stream producer failed")

@@ -310,3 +310,32 @@ def test_streaming_arrival_preempts_nonhead_segment(model):
         assert corr > 0.98, corr
     finally:
         b.stop()
+
+
+def test_stream_abandon_cancels_request(model):
+    """Abandoning a stream iterator (client disconnect) must retire the
+    request's remaining segments — not leave them decoding to completion in
+    occupied slots — and the batcher must keep serving."""
+    import time as _t
+
+    from pocket_tts_tpu.runtime.engine import GenParams
+
+    b = ContinuousBatcher(model, batch_size=2, chunk_frames=4)
+    b.start()
+    try:
+        sent = "A long cancelled stream holds slots for quite a while. "
+        it = b.stream(sent * 3,
+                      gen=GenParams(temp=0.0, eos_threshold=float("inf")))
+        next(it)
+        it.close()  # disconnect
+        deadline = _t.monotonic() + 30
+        while not b.idle():
+            assert _t.monotonic() < deadline, b.stats()
+            _t.sleep(0.01)
+        assert b.stats()["requests_cancelled"] == 1
+        # slots are free again and numerics are unaffected
+        out = b.generate("After the cancellation.")
+        want = model.generate_with_pauses("After the cancellation.")
+        np.testing.assert_allclose(out, want, atol=1e-4)
+    finally:
+        b.stop()
