@@ -1,0 +1,28 @@
+"""int8 weight-only quantization with an SNR quality report.
+
+Counterpart of the reference's examples/quantize_demo.rs — but the artifact
+here is REAL int8-in-HBM (per-channel scales), not the reference's simulated
+f32 round-trip (quantize.rs:1-10).  Same skip-list policy: embeddings, norms
+and the tiny heads stay f32."""
+
+from pocket_tts_tpu import TTSModel
+from pocket_tts_tpu.runtime.quantize import (
+    quantize_model, save_quantized, snr_report)
+
+model = TTSModel.load()
+qmodel = quantize_model(model)
+
+snrs = snr_report(model.params, qmodel.params)
+worst = sorted(snrs.items(), key=lambda kv: kv[1])[:5]
+print(f"quantized {len(snrs)} tensors; "
+      f"SNR min {min(snrs.values()):.1f} dB mean "
+      f"{sum(snrs.values()) / len(snrs):.1f} dB")
+for name, db in worst:
+    print(f"  {db:6.1f} dB  {name}")
+
+save_quantized(qmodel.params, "model.int8.safetensors")
+print("saved model.int8.safetensors; reload with "
+      "TTSModel.load_quantized('model.int8.safetensors')")
+
+wav = qmodel.generate("Quantized inference sounds the same to most ears.")
+print(f"int8 generation: {wav.size / qmodel.sample_rate:.2f}s audio")
