@@ -112,12 +112,17 @@ def main():
         # ~115-340x with transport weather (docs/performance.md variance
         # note); the median is reproducible within ~±20%, the best is not.
         run_all()
+        f0 = batcher.stats()["frames_decoded"]
         runs = sorted((run_all() for _ in range(5)), key=lambda r: r[1])
+        fetched_mb = (batcher.stats()["frames_decoded"] - f0) * 1920 * 2 / 1e6
         total, dt = runs[len(runs) // 2]
         btotal, bdt = runs[0]
+        sum_dt = sum(r[1] for r in runs)
         print(f"batched B={NB}: p50 {total:.1f}s audio in {dt:.2f}s -> "
               f"aggregate {total/dt:.1f}x realtime ({total/dt/NB:.1f}x per "
-              f"stream); best {btotal/bdt:.1f}x", file=sys.stderr)
+              f"stream); best {btotal/bdt:.1f}x; transport "
+              f"{fetched_mb/sum_dt:.0f} MB/s fetched over 5 runs "
+              f"(weather gauge)", file=sys.stderr)
 
         # Batched STREAMING first-chunk latency: staggered arrivals, each
         # stream timed from submit to first audio chunk.  The admission ramp

@@ -339,3 +339,76 @@ def test_stream_abandon_cancels_request(model):
         np.testing.assert_allclose(out, want, atol=1e-4)
     finally:
         b.stop()
+
+
+def test_quantized_model_batches(model):
+    """A real-int8 model must ride the ContinuousBatcher unchanged (the
+    engine consumes QTensor pytrees transparently)."""
+    from pocket_tts_tpu.runtime.quantize import quantize_model
+
+    q = quantize_model(model)
+    b = ContinuousBatcher(q, batch_size=2, chunk_frames=4)
+    b.start()
+    try:
+        out = b.generate("Quantized batching works.")
+        want = q.generate_with_pauses("Quantized batching works.")
+        assert out.shape == want.shape
+        np.testing.assert_allclose(out, want, atol=1e-4)
+    finally:
+        b.stop()
+
+
+def test_churn_soak(model):
+    """Robustness under mixed churn: concurrent generates, streams, client
+    disconnects, per-request knobs, and multi-segment texts.  The loop must
+    survive (dead=False), serve every completed request, and drain to idle."""
+    import random
+    import time as _t
+
+    from pocket_tts_tpu.runtime.engine import GenParams
+
+    rng = random.Random(42)
+    b = ContinuousBatcher(model, batch_size=3, chunk_frames=4, warm_chunk=2)
+    b.start()
+    errors = []
+    texts = ["Short one.", "A slightly longer second text to speak.",
+             "Three sentences now. With a pause, too. And an ending.",
+             "This multi segment soak text keeps the slots busy for longer "
+             "than most. " * 2]
+
+    def worker(i):
+        try:
+            text = texts[i % len(texts)]
+            mode = rng.random()
+            gen = (GenParams(temp=0.0, lsd_decode_steps=1 + i % 3)
+                   if i % 4 == 0 else None)
+            if mode < 0.3:  # stream fully
+                got = np.concatenate(list(b.stream(text, gen=gen)))
+                assert got.size > 0
+            elif mode < 0.5:  # stream, then disconnect early
+                it = b.stream(text, gen=gen)
+                next(it)
+                it.close()
+            else:  # whole-utterance
+                got = b.generate(text, gen=gen)
+                assert got.size > 0
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(24)]
+    for j, t in enumerate(threads):
+        t.start()
+        if j % 5 == 4:
+            _t.sleep(0.05)  # stagger a little churn
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors[:5]
+    deadline = _t.monotonic() + 30
+    while not b.idle():
+        assert _t.monotonic() < deadline, b.stats()
+        _t.sleep(0.02)
+    st = b.stats()
+    assert not st["dead"]
+    assert st["requests_submitted"] == 24
+    assert st["requests_completed"] + st["requests_cancelled"] == 24
+    b.stop()
