@@ -95,15 +95,30 @@ class TTSModel:
         eos_threshold: float = DEFAULT_EOS_THRESHOLD,
         seed: int = 0,
         voice_prompt_chunk_frames: int | None = None,
+        max_seq: int | None = None,
     ) -> "TTSModel":
         """``voice_prompt_chunk_frames`` overrides the streaming voice-encode
         chunk size (the reference's load-time knob, tts_model.rs:59/:562-577);
-        None keeps the config default (240 frames)."""
+        None keeps the config default (240 frames).
+
+        ``max_seq`` overrides the FlowLM KV-cache capacity (default 1024
+        positions = voice prompt + text + generation; the reference has the
+        same dense-cache bound via init_states(1, 1000)).  Longer voice
+        prompts than ~71 s need a bigger cache: each +256 positions admits
+        +20 s of prompt for ~24 MB more KV memory.  Decode cost is unchanged
+        at short positions (windowed attention buckets are re-derived), but
+        each newly reached window bucket is one compile."""
         cfg = load_variant(variant)
         if voice_prompt_chunk_frames is not None:
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
                 cfg.runtime,
                 voice_prompt_chunk_frames=voice_prompt_chunk_frames))
+        if max_seq is not None:
+            if max_seq < 256:
+                raise ValueError(f"max_seq must be >= 256, got {max_seq}")
+            cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
+                cfg.runtime, max_seq=max_seq,
+                window_buckets=tuple(range(256, max_seq, 256))))
         plans = MimiPlans(cfg.mimi)
         params, real = weights_mod.load_params(cfg, plans, variant=variant)
         gen = GenParams(temp=temp, lsd_decode_steps=lsd_decode_steps,
@@ -215,6 +230,19 @@ class TTSModel:
         # sufficient starting state (no fresh cache allocation needed)
         st = self.engine.new_state() if base is None else dict(base.as_dict())
         base_len = 0 if base is None else base.length
+        # conditioning that cannot fit alongside the generation reserve is
+        # clipped to its MOST RECENT frames — writing past the cache would
+        # silently corrupt the state and generation would emit nothing
+        room = (self.engine._rcfg.max_seq - self.engine.prompt_reserve
+                - base_len)
+        if n_frames > room:
+            logger.warning(
+                "voice conditioning (%d frames) exceeds the %d-position "
+                "cache budget; keeping the most recent %d frames — load "
+                "with max_seq=<bigger> for longer prompts",
+                n_frames, self.engine._rcfg.max_seq, max(0, room))
+            cond = cond[:, n_frames - max(0, room):]
+            n_frames = max(0, room)
         # conditioning longer than the largest prompt bucket prefills in
         # bucket-sized pieces — positions continue from the cache cursor, so
         # chunked prefill equals one-shot prefill

@@ -67,3 +67,56 @@ def test_text_over_bucket_raises_cleanly(model):
     chunks = text_mod.split_into_best_sentences(model.tokenizer, "word " * 300)
     for c in chunks:
         assert model.tokenizer.count_tokens(c) <= 64
+
+
+def test_overlong_prompt_clips_to_most_recent(caplog):
+    """Conditioning longer than the cache budget must clip to its most
+    recent frames (with a warning) instead of silently writing past the
+    cache and generating nothing."""
+    import logging
+
+    import jax
+    import numpy as np
+
+    from pocket_tts_tpu import weights
+    from pocket_tts_tpu.models.mimi import MimiPlans
+    from pocket_tts_tpu.runtime.engine import GenParams
+    from pocket_tts_tpu.tts import TTSModel
+    from tests.test_tts import CFG
+
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    model = TTSModel(CFG, params, gen=GenParams(temp=0.0),
+                     has_real_weights=False)
+    d = CFG.flow_lm.transformer.d_model
+    n = CFG.runtime.max_seq + 40
+    prompt = (np.random.default_rng(0).normal(size=(1, n, d)) * 0.05
+              ).astype(np.float32)
+    with caplog.at_level(logging.WARNING):
+        vs = model.get_voice_state_from_prompt(prompt)
+    assert "most recent" in caplog.text
+    room = CFG.runtime.max_seq - model.engine.prompt_reserve
+    assert vs.length == room
+    assert int(np.asarray(jax.device_get(vs.pos))[0]) == room
+    wav = model.generate("Overlong prompt still speaks.", vs)
+    assert wav.size > 0 and np.isfinite(wav).all()
+    # clipping keeps the TAIL: equals a direct prefill of the last `room`
+    direct = model.get_voice_state_from_prompt(prompt[:, -room:])
+    a = model.generate("Tail equality.", vs)
+    b = model.generate("Tail equality.", direct)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_max_seq_load_override():
+    """load_with_params(max_seq=...) enlarges the FlowLM cache and re-derives
+    the window buckets (longer voice prompts than the default ~71 s bound)."""
+    import pytest as _pytest
+
+    from pocket_tts_tpu.tts import TTSModel
+
+    model = TTSModel.load_with_params(max_seq=1536)
+    rcfg = model.engine._rcfg
+    assert rcfg.max_seq == 1536
+    assert rcfg.window_buckets == tuple(range(256, 1536, 256))
+    with _pytest.raises(ValueError, match="max_seq"):
+        TTSModel.load_with_params(max_seq=100)
