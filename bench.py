@@ -151,9 +151,11 @@ def main():
             for th in threads:
                 th.join()
 
-        # warm-up pass first: the ramp dispatches warm-chunk programs (and
-        # window buckets) the throughput phase never compiles
-        staggered_pass()
+        # compile every (chunk, window) decode variant up front — which
+        # combination a lazy compile would hit depends on arrival timing, and
+        # one mid-run cold compile blocks every in-flight stream for minutes
+        batcher.warmup()
+        staggered_pass()  # warm the e2e glue (queues, prefill widths)
         lat_ms.clear()
         staggered_pass()
         lat_ms.sort()

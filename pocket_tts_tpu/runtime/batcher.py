@@ -163,6 +163,40 @@ class ContinuousBatcher:
                        "requests_completed": 0, "requests_submitted": 0,
                        "requests_cancelled": 0}
 
+    def warmup(self) -> None:
+        """Compile every decode variant the loop can dispatch — each (chunk
+        size, window bucket) pair plus the text-prefill buckets — on a
+        throwaway state.  Without this, the first stream to cross an uncompiled
+        combination blocks EVERY in-flight stream for the cold compile
+        (minutes on remote-compile backends); which combination that is
+        depends on arrival timing, so lazy compilation is a latency landmine.
+        Results are persisted by the JAX compilation cache, so a restarted
+        server pays nothing."""
+        engine = self.engine
+        gen = self.model.gen
+        key = jax.random.PRNGKey(0)
+        state = engine.new_state(self.batch)
+        for width in tuple(getattr(engine._rcfg, "text_buckets", (8,))):
+            tokens = np.ones((self.batch, width), np.int32)
+            state = engine.prefill_tokens(
+                state, tokens, np.ones((self.batch,), np.int32))
+        chunks = sorted({self.warm_chunk, min(self.serve_chunk, self.chunk),
+                         self.chunk})
+        windows = tuple(getattr(engine._rcfg, "window_buckets", ())) + (0,)
+        temps = np.full((self.batch,), gen.temp, np.float32)
+        eos_th = np.full((self.batch,), gen.eos_threshold, np.float32)
+        audio = None
+        for k in chunks:
+            for w in windows:
+                # fresh state per variant: positions stay at 0 so every
+                # window capacity is valid regardless of iteration order
+                st = engine.new_state(self.batch)
+                st, _, audio, _ = engine.decode_frames(
+                    st, key, k, gen, temps=temps, eos_thresholds=eos_th,
+                    window=w)
+        if audio is not None:
+            jax.device_get(audio)  # block_until_ready is unreliable on axon
+
     def idle(self) -> bool:
         """True when no request is active or queued — the server routes
         lone requests to the (~10x faster per-stream) single-stream engine

@@ -354,9 +354,10 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
         t0 = time.time()
         _ = model.generate("Warm up.", state.resolve(default_voice))
         if batcher is not None:
-            # compiles the batched decode programs incl. the warm-chunk
-            # admission ramp, so the first real streamed request is not a
-            # cold compile
+            # compile every (chunk, window) decode variant up front: a lazy
+            # compile would block every in-flight stream whenever the first
+            # request crosses an uncompiled combination
+            batcher.warmup()
             for _chunk in batcher.stream("Warm up.",
                                          state.resolve(default_voice)):
                 pass

@@ -412,3 +412,18 @@ def test_churn_soak(model):
     assert st["requests_submitted"] == 24
     assert st["requests_completed"] + st["requests_cancelled"] == 24
     b.stop()
+
+
+def test_whole_wav_requests_skip_latency_policy(model):
+    """generate() traffic must take pure throughput chunks: no warm ramp, no
+    serve-chunk halving (the latency machinery is for streaming consumers)."""
+    b = ContinuousBatcher(model, batch_size=2, chunk_frames=8, warm_chunk=2)
+    b.start()
+    try:
+        _ = b.generate("Pure throughput path please.")
+        st = b.stats()
+        assert st["warm_dispatches"] == 0
+        assert st["serve_dispatches"] == 0
+        assert st["dispatches"] > 0
+    finally:
+        b.stop()
