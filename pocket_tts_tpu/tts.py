@@ -152,7 +152,7 @@ class TTSModel:
         from pocket_tts_tpu.runtime.quantize import load_quantized
 
         cfg = load_variant(variant)
-        params = load_quantized(path)
+        params = load_quantized(weights_mod.resolve_uri(path))
         gen = GenParams(**{k: v for k, v in kwargs.items()
                            if k in ("temp", "lsd_decode_steps", "noise_clamp",
                                     "eos_threshold")})
@@ -180,8 +180,19 @@ class TTSModel:
 
     # -- voice states --------------------------------------------------------
 
-    def get_voice_state(self) -> VoiceState:
-        """Unconditioned (empty) voice state."""
+    def get_voice_state(self, source: str | Path | bytes | None = None,
+                        truncate: bool = False) -> VoiceState:
+        """Voice state from ``source``, or the unconditioned (empty) state.
+
+        ``source`` may be a WAV path/bytes (runs the Mimi encoder — the
+        reference's ``get_voice_state(path)``, tts_model.rs:449) or an
+        ``audio_prompt`` safetensors path (the stock-voice artifact,
+        tts_model.rs:465-501)."""
+        if source is not None:
+            if (isinstance(source, (str, Path))
+                    and str(source).endswith(".safetensors")):
+                return self.get_voice_state_from_prompt_file(source)
+            return self.get_voice_state_from_wav(source, truncate=truncate)
         st = self.engine.new_state()
         return VoiceState(st["kc"], st["vc"], st["pos"], 0)
 

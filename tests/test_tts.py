@@ -415,3 +415,25 @@ def test_continuation_bridges_pause_segments(model):
     plain = model.generate_with_pauses(text)
     assert (plain.shape != auto.shape
             or not np.allclose(plain, auto, atol=1e-5))
+
+
+def test_get_voice_state_accepts_path(model, tmp_path):
+    """Reference API parity: get_voice_state(path) clones from a WAV or an
+    audio_prompt safetensors (tts_model.rs:449/:465-501); no argument still
+    returns the unconditioned state."""
+    import numpy as np
+
+    from pocket_tts_tpu import audio as audio_io
+
+    wav = np.random.default_rng(9).normal(size=24000).astype(np.float32) * 0.1
+    p = tmp_path / "speaker.wav"
+    audio_io.write_wav(p, wav, 24000)
+    via_path = model.get_voice_state(str(p))
+    direct = model.get_voice_state_from_wav(p)
+    assert via_path.length == direct.length > 0
+
+    model.save_voice_prompt(wav, tmp_path / "v.safetensors")
+    via_st = model.get_voice_state(tmp_path / "v.safetensors")
+    assert via_st.length == direct.length
+
+    assert model.get_voice_state().length == 0
