@@ -88,6 +88,7 @@ def main():
         # (dispatch sweep: 0.27 ms/slot-frame; B=32 saturates, chunk=16 pays
         # ~30 ms fixed dispatch cost too often).
         NB = 16
+        batcher = None
         batcher = batched_tts(model, batch_size=NB, chunk_frames=64, depth=2)
 
         def run_all():
@@ -163,9 +164,13 @@ def main():
               f"arrivals over 2.5s): p50 {lat_ms[len(lat_ms)//2]:.0f} ms, "
               f"p90 {lat_ms[int(len(lat_ms)*0.9)]:.0f} ms, "
               f"max {lat_ms[-1]:.0f} ms", file=sys.stderr)
-        batcher.stop()
     except Exception as e:  # noqa: BLE001
         print(f"batched bench failed: {e}", file=sys.stderr)
+    finally:
+        # always stop the decode thread: a batched-bench failure must not
+        # leave it contending with the int8 and late-sample headline runs
+        if batcher is not None:
+            batcher.stop()
 
     # int8 weight-only serving (stderr detail): RTF + round-trip SNR, the
     # reference's quantization quality metric (quantize.rs:157-171) — run

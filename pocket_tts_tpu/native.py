@@ -41,8 +41,11 @@ def _find_lib() -> Path | None:
     """Search order: $POCKET_TTS_NATIVE_LIB -> wheel location (setup.py puts
     it in pocket_tts_tpu/_native/) -> in-tree native/ (building on demand)."""
     env = os.environ.get("POCKET_TTS_NATIVE_LIB")
-    if env and Path(env).exists():
-        return Path(env)
+    if env:
+        if Path(env).exists():
+            return Path(env)
+        logger.warning("POCKET_TTS_NATIVE_LIB=%s does not exist; falling "
+                       "back to the bundled library", env)
     wheel = Path(__file__).parent / "_native" / "libpocket_audio.so"
     if wheel.exists():
         return wheel

@@ -163,15 +163,21 @@ class ContinuousBatcher:
                        "requests_completed": 0, "requests_submitted": 0,
                        "requests_cancelled": 0}
 
-    def warmup(self) -> None:
+    def warmup(self, vec_ceilings: tuple[int, ...] = (1, 2)) -> None:
         """Compile every decode variant the loop can dispatch — each (chunk
-        size, window bucket) pair plus the text-prefill buckets — on a
-        throwaway state.  Without this, the first stream to cross an uncompiled
-        combination blocks EVERY in-flight stream for the cold compile
-        (minutes on remote-compile backends); which combination that is
-        depends on arrival timing, so lazy compilation is a latency landmine.
-        Results are persisted by the JAX compilation cache, so a restarted
-        server pays nothing."""
+        size, window bucket) pair, both the default program and the
+        per-slot-vec program at the given lsd step ceilings, plus the
+        text-prefill buckets — on throwaway states.  Without this, the first
+        stream to cross an uncompiled combination blocks EVERY in-flight
+        stream for the cold compile (minutes on remote-compile backends);
+        which combination that is depends on arrival timing, so lazy
+        compilation is a latency landmine.  Results persist in the JAX
+        compilation cache, so a restarted server pays nothing.
+
+        ``vec_ceilings``: power-of-two lsd ceilings to pre-compile for the
+        vec path (requests overriding lsd_decode_steps/noise_clamp); (1, 2)
+        covers clamp-only overrides and lsd_steps=2.  Higher overrides
+        compile on first use."""
         engine = self.engine
         gen = self.model.gen
         key = jax.random.PRNGKey(0)
@@ -194,6 +200,13 @@ class ContinuousBatcher:
                 st, _, audio, _ = engine.decode_frames(
                     st, key, k, gen, temps=temps, eos_thresholds=eos_th,
                     window=w)
+                for ceil in vec_ceilings:
+                    st2 = engine.new_state(self.batch)
+                    st2, _, audio, _ = engine.decode_frames(
+                        st2, key, k, gen, temps=temps, eos_thresholds=eos_th,
+                        window=w,
+                        lsd_vec=np.full((self.batch,), ceil, np.int32),
+                        clamp_vec=np.full((self.batch,), -1.0, np.float32))
         if audio is not None:
             jax.device_get(audio)  # block_until_ready is unreliable on axon
 
@@ -518,15 +531,16 @@ class ContinuousBatcher:
                 if s.free:
                     lsd[i] = 1
                     clamp[i] = -1.0
-            # per-slot vectors live on device and re-upload only when slot
-            # occupancy changed — numpy arguments would otherwise ride the
-            # tunnel (~25 ms h2d each, async but queue-occupying) on EVERY
-            # dispatch
+            # temps/eos ride EVERY dispatch: cache them on device and
+            # re-upload only when slot occupancy changed (a numpy argument
+            # would otherwise ride the tunnel per dispatch).  lsd/clamp stay
+            # numpy — the vec path inspects them eagerly on host
+            # (engine.decode_frames: validity check + pow2 step ceiling), so
+            # device copies would force blocking device->host reads there.
             if vecs_dirty or vecs is None:
-                vecs = jax.device_put((temps.copy(), eos_th.copy(),
-                                       lsd.copy(), clamp.copy()))
+                vecs = jax.device_put((temps.copy(), eos_th.copy()))
                 vecs_dirty = False
-            d_temps, d_eos, d_lsd, d_clamp = vecs
+            d_temps, d_eos = vecs
             # Batches where every active slot matches the server DEFAULTS (the
             # common case: nobody overrides lsd/noise_clamp) take the plain
             # static decode — the per-slot vec program pays ~10% for masked
@@ -549,8 +563,8 @@ class ContinuousBatcher:
             else:
                 state, _, audio, is_eos = engine.decode_frames(
                     state, key, k, gen, temps=d_temps,
-                    eos_thresholds=d_eos, window=window, lsd_vec=d_lsd,
-                    clamp_vec=d_clamp)
+                    eos_thresholds=d_eos, window=window, lsd_vec=lsd,
+                    clamp_vec=clamp)
             for s in active:
                 s.dispatched += k
             with self._lock:

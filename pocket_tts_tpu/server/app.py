@@ -174,8 +174,15 @@ def create_app(state: ServerState):
             import os
 
             sr = state.model.sample_rate
-            prebuffer_bytes = 2 * int(
-                sr * float(os.environ.get("FIRST_CHUNK_LENGTH_SECONDS", "0")))
+            try:
+                prebuf_s = float(os.environ.get("FIRST_CHUNK_LENGTH_SECONDS",
+                                                "0"))
+            except ValueError:
+                logger.warning("invalid FIRST_CHUNK_LENGTH_SECONDS=%r; "
+                               "using 0",
+                               os.environ["FIRST_CHUNK_LENGTH_SECONDS"])
+                prebuf_s = 0.0
+            prebuffer_bytes = 2 * int(sr * prebuf_s)
             trailing = bytes(2 * int(sr * 0.2))
             headers = {"Content-Type": "audio/wav",
                        "Content-Disposition":
