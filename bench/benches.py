@@ -139,7 +139,8 @@ def bench_batched_latency(model, nb: int = 16):
             t.join()
         return time.perf_counter() - t0
 
-    run_pass()  # warm: compiles warm-chunk + window-bucket programs
+    b.warmup()  # compile every (chunk, window) variant up front
+    run_pass()  # warm the e2e glue
     lat_ms.clear()
     wall = run_pass()
     lat_ms.sort()

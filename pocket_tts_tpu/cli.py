@@ -111,10 +111,10 @@ def cmd_quantize(args) -> int:
 
     args.quantized = False  # always start from the full-precision checkpoint
     model = _load_model(args)
-    qmodel = quantize_model(model)
+    qmodel = quantize_model(model, bits=args.bits)
     snrs = snr_report(model.params, qmodel.params)
     save_quantized(qmodel.params, args.output)
-    print(f"wrote {args.output}: {len(snrs)} int8 tensors, "
+    print(f"wrote {args.output}: {len(snrs)} int{args.bits} tensors, "
           f"SNR dB min {min(snrs.values()):.1f} mean "
           f"{sum(snrs.values())/len(snrs):.1f}", file=sys.stderr)
     return 0
@@ -164,6 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("quantize", help="write a real int8 checkpoint artifact")
     q.add_argument("--output", "-o", default="model.int8.safetensors")
+    q.add_argument("--bits", type=int, choices=(4, 8), default=8,
+                   help="4 = experimental int4 (half the HBM traffic of "
+                        "int8, ~25 dB SNR; listening-validate first)")
     _add_gen_params(q)
     q.set_defaults(fn=cmd_quantize)
 

@@ -67,16 +67,24 @@ def mat(w):
     return w.dequant() if isinstance(w, QTensor) else w
 
 
-def quantize_array(w: jnp.ndarray, channel_axes: int = 1) -> QTensor:
-    """Symmetric per-channel int8: scales over the leading ``channel_axes`` dims
-    (1 for [out, in], 2 for stacked [L, out, in])."""
+def quantize_array(w: jnp.ndarray, channel_axes: int = 1,
+                   bits: int = 8) -> QTensor:
+    """Symmetric per-channel int quantization: scales over the leading
+    ``channel_axes`` dims (1 for [out, in], 2 for stacked [L, out, in]).
+
+    ``bits``: 8 (int8, ~48 dB SNR) or 4 (int4, ~25 dB — halves weight HBM
+    traffic again; quality should be listening-validated on real weights)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qmax = (1 << (bits - 1)) - 1
+    qdtype = jnp.int4 if bits == 4 else jnp.int8
     reduce_axes = tuple(range(channel_axes, w.ndim))
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes)
-    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    scale = jnp.maximum(absmax, 1e-12) / qmax
     s = scale
     while s.ndim < w.ndim:
         s = s[..., None]
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -qmax, qmax).astype(qdtype)
     return QTensor(q, scale.astype(w.dtype))
 
 
@@ -112,7 +120,8 @@ def should_quantize(name: str, leaf) -> bool:
     return not any(s in lname for s in SKIP_SUBSTRINGS)
 
 
-def quantize_tree(params: dict, *, stacked_names: tuple[str, ...] = ()) -> dict:
+def quantize_tree(params: dict, *, stacked_names: tuple[str, ...] = (),
+                  bits: int = 8) -> dict:
     """Quantize eligible leaves of a param pytree.
 
     ``stacked_names``: leaf names whose weights carry a leading layer axis
@@ -126,7 +135,7 @@ def quantize_tree(params: dict, *, stacked_names: tuple[str, ...] = ()) -> dict:
         # stacked transformer / flow-block weights carry leading layer (and,
         # for in_proj, qkv) axes: per-output-channel = all dims but the last
         axes = leaf.ndim - 1 if last in stacked_names else 1
-        return quantize_array(leaf, channel_axes=axes)
+        return quantize_array(leaf, channel_axes=axes, bits=bits)
 
     return jax.tree_util.tree_map_with_path(visit, params)
 

@@ -18,9 +18,9 @@ from pocket_tts_tpu.tts import TTSModel
 logger = logging.getLogger(__name__)
 
 
-def quantize_params(params: dict) -> dict:
+def quantize_params(params: dict, bits: int = 8) -> dict:
     return jax.jit(
-        lambda p: quantize_tree(p, stacked_names=STACKED_WEIGHTS)
+        lambda p: quantize_tree(p, stacked_names=STACKED_WEIGHTS, bits=bits)
     )(params)
 
 
@@ -94,24 +94,34 @@ def _unflatten_paths(items: dict[str, object]) -> dict:
 
 
 def save_quantized(params: dict, path) -> None:
-    """Persist an int8-quantized param tree as safetensors: QTensor leaves
-    store ``<path>.q`` (int8) + ``<path>.scale``; plain leaves store as-is.
+    """Persist a quantized param tree as safetensors: QTensor leaves store
+    ``<path>.q`` + ``<path>.scale``; plain leaves store as-is.
+
+    int4 values are stored as int8 on disk (safetensors has no int4 dtype;
+    the HBM savings come from the in-memory representation) with a ``bits``
+    metadata field so :func:`load_quantized` restores the packed dtype.
 
     The reference's quantized checkpoint path is a placeholder that loads
-    fp32 (tts_model.rs:122-179); this is the real artifact — ~4x smaller than
-    the f32 checkpoint and loadable straight into serving via
-    :func:`load_quantized`."""
+    fp32 (tts_model.rs:122-179); this is the real artifact, loadable straight
+    into serving via :func:`load_quantized`."""
+    import jax.numpy as jnp
     import numpy as np
     from safetensors.numpy import save_file
 
+    bits = 8
     tensors = {}
     for name, leaf in _flatten_paths(params):
         if isinstance(leaf, QTensor):
-            tensors[name + ".q"] = np.asarray(leaf.q)
+            if leaf.q.dtype == jnp.int4:
+                bits = 4
+                tensors[name + ".q"] = np.asarray(leaf.q.astype(jnp.int8))
+            else:
+                tensors[name + ".q"] = np.asarray(leaf.q)
             tensors[name + ".scale"] = np.asarray(leaf.scale, np.float32)
         else:
             tensors[name] = np.asarray(leaf, np.float32)
-    save_file(tensors, str(path), metadata={"format": "pocket-tts-tpu-int8"})
+    save_file(tensors, str(path),
+              metadata={"format": "pocket-tts-tpu-int8", "bits": str(bits)})
 
 
 def load_quantized(path) -> dict:
@@ -125,6 +135,7 @@ def load_quantized(path) -> dict:
         meta = f.metadata() or {}
         if meta.get("format") != "pocket-tts-tpu-int8":
             raise ValueError(f"{path} is not a pocket-tts-tpu int8 checkpoint")
+        bits = int(meta.get("bits", "8"))
         for key in f.keys():
             t = f.get_tensor(key)
             if key.endswith(".q") or key.endswith(".scale"):
@@ -132,19 +143,22 @@ def load_quantized(path) -> dict:
                 qparts.setdefault(base, {})[kind] = t
             else:
                 items[key] = jnp.asarray(t)
+    qdtype = jnp.int4 if bits == 4 else jnp.int8
     for base, parts in qparts.items():
-        items[base] = QTensor(jnp.asarray(parts["q"]),
+        items[base] = QTensor(jnp.asarray(parts["q"]).astype(qdtype),
                               jnp.asarray(parts["scale"]))
     return _unflatten_paths(items)
 
 
-def quantize_model(model: TTSModel) -> TTSModel:
-    """Return a clone of ``model`` running on int8 weights."""
-    qparams = quantize_params(model.params)
+def quantize_model(model: TTSModel, bits: int = 8) -> TTSModel:
+    """Return a clone of ``model`` running on int8 (or, experimentally, int4)
+    weights.  int4 halves weight HBM traffic again at ~25 dB round-trip SNR —
+    validate by ear on real weights before serving with it."""
+    qparams = quantize_params(model.params, bits=bits)
     n_q = sum(isinstance(leaf, QTensor)
               for leaf in jax.tree.leaves(
                   qparams, is_leaf=lambda x: isinstance(x, QTensor)))
-    logger.info("quantized %d weight tensors to int8", n_q)
+    logger.info("quantized %d weight tensors to int%d", n_q, bits)
 
     clone = object.__new__(TTSModel)
     clone.__dict__.update(model.__dict__)

@@ -186,3 +186,61 @@ def test_load_quantized_rejects_plain_safetensors(tmp_path):
     save_file({"w": np.zeros((4, 4), np.float32)}, str(p))
     with pytest.raises(ValueError, match="int8 checkpoint"):
         load_quantized(p)
+
+
+@pytest.fixture(scope="module")
+def model():
+    from tests.test_tts import CFG
+    from pocket_tts_tpu import weights
+    from pocket_tts_tpu.models.mimi import MimiPlans
+    from pocket_tts_tpu.runtime.engine import GenParams
+    from pocket_tts_tpu.tts import TTSModel
+
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    return TTSModel(CFG, params, gen=GenParams(temp=0.0),
+                    has_real_weights=False)
+
+
+class TestInt4:
+    """Experimental int4 weight-only path (bits=4): half the HBM bytes of
+    int8; disk artifact stores int8 values + bits metadata."""
+
+    def test_quantize_generate_finite(self, model):
+        import jax.numpy as jnp
+
+        from pocket_tts_tpu.ops.qtensor import QTensor
+        from pocket_tts_tpu.runtime.quantize import quantize_model, snr_report
+
+        q4 = quantize_model(model, bits=4)
+        leaves = [leaf for leaf in jax.tree.leaves(
+            q4.params, is_leaf=lambda x: isinstance(x, QTensor))
+            if isinstance(leaf, QTensor)]
+        assert leaves and all(l.q.dtype == jnp.int4 for l in leaves)
+        snrs = snr_report(model.params, q4.params)
+        assert min(snrs.values()) > 15, min(snrs.values())  # ~25 dB expected
+        wav = q4.generate("Int four experiment speaking.")
+        assert wav.size > 0 and np.isfinite(wav).all()
+
+    def test_artifact_round_trip(self, model, tmp_path):
+        import jax.numpy as jnp
+
+        from pocket_tts_tpu.ops.qtensor import QTensor
+        from pocket_tts_tpu.runtime.quantize import (
+            load_quantized, quantize_model, save_quantized)
+
+        q4 = quantize_model(model, bits=4)
+        p = tmp_path / "model.int4.safetensors"
+        save_quantized(q4.params, p)
+        loaded = load_quantized(p)
+        flat_a = jax.tree.leaves(q4.params,
+                                 is_leaf=lambda x: isinstance(x, QTensor))
+        flat_b = jax.tree.leaves(loaded,
+                                 is_leaf=lambda x: isinstance(x, QTensor))
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            if isinstance(a, QTensor):
+                assert b.q.dtype == jnp.int4
+                np.testing.assert_array_equal(
+                    np.asarray(a.q.astype(jnp.int8)),
+                    np.asarray(b.q.astype(jnp.int8)))
