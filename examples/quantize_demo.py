@@ -26,3 +26,10 @@ print("saved model.int8.safetensors; reload with "
 
 wav = qmodel.generate("Quantized inference sounds the same to most ears.")
 print(f"int8 generation: {wav.size / qmodel.sample_rate:.2f}s audio")
+
+# experimental: int4 halves weight HBM traffic again (~25 dB SNR —
+# listening-validate on real weights before serving with it)
+q4 = quantize_model(model, bits=4)
+snrs4 = snr_report(model.params, q4.params)
+print(f"int4: SNR min {min(snrs4.values()):.1f} dB mean "
+      f"{sum(snrs4.values()) / len(snrs4):.1f} dB")
