@@ -95,6 +95,29 @@ def create_app(state: ServerState):
         html = (Path(__file__).parent / "webui.html").read_text()
         return web.Response(text=html, content_type="text/html")
 
+    @routes.get("/metrics")
+    async def metrics(request):
+        """Prometheus text exposition of the serving counters (beyond the
+        reference's /health-only observability)."""
+        lines = [
+            "# TYPE pocket_tts_uptime_seconds gauge",
+            f"pocket_tts_uptime_seconds {time.time() - state.started_at:.1f}",
+        ]
+        if state.batcher is not None:
+            st = state.batcher.stats()
+            for key in ("dispatches", "warm_dispatches", "serve_dispatches",
+                        "frames_decoded", "preemptions", "requests_submitted",
+                        "requests_completed", "requests_cancelled"):
+                lines.append(f"# TYPE pocket_tts_{key} counter")
+                lines.append(f"pocket_tts_{key} {st[key]}")
+            for key in ("active_requests", "queued_segments"):
+                lines.append(f"# TYPE pocket_tts_{key} gauge")
+                lines.append(f"pocket_tts_{key} {st[key]}")
+            lines.append("# TYPE pocket_tts_batcher_dead gauge")
+            lines.append(f"pocket_tts_batcher_dead {int(st['dead'])}")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
     @routes.get("/health")
     async def health(request):
         out = {

@@ -302,3 +302,33 @@ def test_occupancy_adaptive_routing(model):
         loop.run_until_complete(client.close())
         loop.close()
         batcher.stop()
+
+
+def test_metrics_endpoint(model):
+    """Prometheus text exposition of serving counters."""
+    import asyncio
+
+    from pocket_tts_tpu.runtime.batcher import batched_tts
+
+    batcher = batched_tts(model, batch_size=2, chunk_frames=4)
+    loop = asyncio.new_event_loop()
+    state = ServerState(model, batcher=batcher)
+    app = create_app(state)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def go():
+            resp = await client.get("/metrics")
+            assert resp.status == 200
+            text = await resp.text()
+            return text
+
+        _ = batcher.generate("Metric fodder.")
+        text = loop.run_until_complete(go())
+        assert "pocket_tts_requests_completed 1" in text
+        assert "pocket_tts_uptime_seconds" in text
+        assert "pocket_tts_batcher_dead 0" in text
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+        batcher.stop()
