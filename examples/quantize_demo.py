@@ -27,8 +27,9 @@ print("saved model.int8.safetensors; reload with "
 wav = qmodel.generate("Quantized inference sounds the same to most ears.")
 print(f"int8 generation: {wav.size / qmodel.sample_rate:.2f}s audio")
 
-# experimental: int4 halves weight HBM traffic again (~25 dB SNR —
-# listening-validate on real weights before serving with it)
+# experimental: int4 halves the ARTIFACT size (nibble-packed uint8) but
+# measured slower than int8 at runtime on TPU (unpack overhead beats the
+# bandwidth saved — docs/performance.md); use it for distribution, not serving
 q4 = quantize_model(model, bits=4)
 snrs4 = snr_report(model.params, q4.params)
 print(f"int4: SNR min {min(snrs4.values()):.1f} dB mean "

@@ -165,8 +165,9 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("quantize", help="write a real int8 checkpoint artifact")
     q.add_argument("--output", "-o", default="model.int8.safetensors")
     q.add_argument("--bits", type=int, choices=(4, 8), default=8,
-                   help="4 = experimental int4 (half the HBM traffic of "
-                        "int8, ~25 dB SNR; listening-validate first)")
+                   help="4 = experimental int4: half-size ARTIFACT (~23 dB "
+                        "SNR) but measured slower than int8 at runtime "
+                        "(docs/performance.md); int8 is the serving path")
     _add_gen_params(q)
     q.set_defaults(fn=cmd_quantize)
 

@@ -20,7 +20,16 @@ import jax.numpy as jnp
 
 @jax.tree_util.register_pytree_node_class
 class QTensor:
-    """int8 values + per-channel (axis 0 of the non-stacked weight) scales.
+    """Quantized values + per-channel (axis 0 of the non-stacked weight) scales.
+
+    Two storage layouts, distinguished by ``q.dtype``:
+      * int8 — one value per byte;
+      * uint8 — PACKED int4, two values per byte along the last axis (stored
+        offset-by-8 in each nibble).  jnp.int4 exists but its host<->device
+        transfer path is broken on some backends (recursive-jit on the axon
+        plugin), so 4-bit storage uses explicit nibble packing — same HBM
+        halving, no exotic dtype; the unpack fuses into the consuming
+        matmul's weight read.
 
     ``scale``'s dtype is the dequantization target, so the engine's dtype policy
     (bf16 backbone / f32 flow net) applies by casting scales only.
@@ -31,7 +40,14 @@ class QTensor:
         self.scale = scale
 
     @property
+    def packed(self) -> bool:
+        return self.q.dtype == jnp.uint8
+
+    @property
     def shape(self):
+        # logical (unpacked) shape
+        if self.packed:
+            return (*self.q.shape[:-1], self.q.shape[-1] * 2)
         return self.q.shape
 
     @property
@@ -46,6 +62,15 @@ class QTensor:
         scale = self.scale
         while scale.ndim < self.q.ndim:
             scale = scale[..., None]
+        if self.packed:
+            # split-half layout: nibble k holds element k, nibble k<<4 holds
+            # element k + d/2 — unpacking is a CONCAT of two slices (fusion-
+            # friendly), not an interleave (which cost a separate shuffle
+            # kernel per weight read and made int4 slower than int8)
+            lo = jnp.bitwise_and(self.q, 0xF).astype(jnp.int8) - 8
+            hi = jnp.right_shift(self.q, 4).astype(jnp.int8) - 8
+            vals = jnp.concatenate([lo, hi], axis=-1)
+            return vals.astype(self.scale.dtype) * scale
         return self.q.astype(self.scale.dtype) * scale
 
     def astype(self, dtype) -> "QTensor":
@@ -59,7 +84,8 @@ class QTensor:
         return cls(*children)
 
     def __repr__(self):
-        return f"QTensor(int8 {self.q.shape}, scale {self.scale.shape})"
+        kind = "int4-packed" if self.packed else "int8"
+        return f"QTensor({kind} {self.shape}, scale {self.scale.shape})"
 
 
 def mat(w):
@@ -77,15 +103,22 @@ def quantize_array(w: jnp.ndarray, channel_axes: int = 1,
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     qmax = (1 << (bits - 1)) - 1
-    qdtype = jnp.int4 if bits == 4 else jnp.int8
     reduce_axes = tuple(range(channel_axes, w.ndim))
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes)
     scale = jnp.maximum(absmax, 1e-12) / qmax
     s = scale
     while s.ndim < w.ndim:
         s = s[..., None]
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -qmax, qmax).astype(qdtype)
-    return QTensor(q, scale.astype(w.dtype))
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -qmax, qmax)
+    if bits == 4 and w.shape[-1] % 2 == 0:
+        vals = (q.astype(jnp.int8) + 8).astype(jnp.uint8)  # nibbles 1..15
+        half = w.shape[-1] // 2
+        packed = jnp.bitwise_or(vals[..., :half],
+                                jnp.left_shift(vals[..., half:], 4))
+        return QTensor(packed, scale.astype(w.dtype))
+    # odd last dims (conv kernels) cannot nibble-pack: they store int8 at the
+    # int4 quantization levels — tiny tensors, negligible HBM difference
+    return QTensor(q.astype(jnp.int8), scale.astype(w.dtype))
 
 
 def quantization_snr_db(w: jnp.ndarray, qt: QTensor) -> float:

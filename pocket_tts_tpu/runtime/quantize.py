@@ -97,14 +97,13 @@ def save_quantized(params: dict, path) -> None:
     """Persist a quantized param tree as safetensors: QTensor leaves store
     ``<path>.q`` + ``<path>.scale``; plain leaves store as-is.
 
-    int4 values are stored as int8 on disk (safetensors has no int4 dtype;
-    the HBM savings come from the in-memory representation) with a ``bits``
-    metadata field so :func:`load_quantized` restores the packed dtype.
+    int4 leaves are nibble-packed uint8 (see ops/qtensor.QTensor), which
+    safetensors stores natively — the artifact really is half the int8 size
+    for those tensors; a ``bits`` metadata field records the narrowest width.
 
     The reference's quantized checkpoint path is a placeholder that loads
     fp32 (tts_model.rs:122-179); this is the real artifact, loadable straight
     into serving via :func:`load_quantized`."""
-    import jax.numpy as jnp
     import numpy as np
     from safetensors.numpy import save_file
 
@@ -112,11 +111,9 @@ def save_quantized(params: dict, path) -> None:
     tensors = {}
     for name, leaf in _flatten_paths(params):
         if isinstance(leaf, QTensor):
-            if leaf.q.dtype == jnp.int4:
+            if leaf.packed:
                 bits = 4
-                tensors[name + ".q"] = np.asarray(leaf.q.astype(jnp.int8))
-            else:
-                tensors[name + ".q"] = np.asarray(leaf.q)
+            tensors[name + ".q"] = np.asarray(leaf.q)
             tensors[name + ".scale"] = np.asarray(leaf.scale, np.float32)
         else:
             tensors[name] = np.asarray(leaf, np.float32)
@@ -135,7 +132,6 @@ def load_quantized(path) -> dict:
         meta = f.metadata() or {}
         if meta.get("format") != "pocket-tts-tpu-int8":
             raise ValueError(f"{path} is not a pocket-tts-tpu int8 checkpoint")
-        bits = int(meta.get("bits", "8"))
         for key in f.keys():
             t = f.get_tensor(key)
             if key.endswith(".q") or key.endswith(".scale"):
@@ -143,9 +139,9 @@ def load_quantized(path) -> dict:
                 qparts.setdefault(base, {})[kind] = t
             else:
                 items[key] = jnp.asarray(t)
-    qdtype = jnp.int4 if bits == 4 else jnp.int8
     for base, parts in qparts.items():
-        items[base] = QTensor(jnp.asarray(parts["q"]).astype(qdtype),
+        # dtype selects the layout: int8 plain, uint8 nibble-packed int4
+        items[base] = QTensor(jnp.asarray(parts["q"]),
                               jnp.asarray(parts["scale"]))
     return _unflatten_paths(items)
 

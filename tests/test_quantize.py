@@ -216,11 +216,29 @@ class TestInt4:
         leaves = [leaf for leaf in jax.tree.leaves(
             q4.params, is_leaf=lambda x: isinstance(x, QTensor))
             if isinstance(leaf, QTensor)]
-        assert leaves and all(l.q.dtype == jnp.int4 for l in leaves)
+        # nibble-packed storage: uint8, last dim halved, logical shape
+        # intact (odd-last-dim conv kernels stay int8 at int4 levels)
+        packed = [l for l in leaves if l.packed]
+        assert packed and all(l.q.dtype == jnp.uint8 for l in packed)
+        for l in packed:
+            assert l.shape[-1] == l.q.shape[-1] * 2
         snrs = snr_report(model.params, q4.params)
         assert min(snrs.values()) > 15, min(snrs.values())  # ~25 dB expected
         wav = q4.generate("Int four experiment speaking.")
         assert wav.size > 0 and np.isfinite(wav).all()
+
+    def test_pack_round_trip_exact(self):
+        """Nibble packing must be lossless vs the unpacked int4 values."""
+        from pocket_tts_tpu.ops.qtensor import quantize_array
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+        qt = quantize_array(w, bits=4)
+        # recompute the reference levels without packing
+        scale = np.maximum(np.abs(np.asarray(w)).max(axis=1), 1e-12) / 7.0
+        ref = np.clip(np.round(np.asarray(w) / scale[:, None]), -7, 7)
+        np.testing.assert_array_equal(
+            np.asarray(qt.dequant()), ref * scale[:, None])
 
     def test_artifact_round_trip(self, model, tmp_path):
         import jax.numpy as jnp
@@ -240,7 +258,6 @@ class TestInt4:
         assert len(flat_a) == len(flat_b)
         for a, b in zip(flat_a, flat_b):
             if isinstance(a, QTensor):
-                assert b.q.dtype == jnp.int4
-                np.testing.assert_array_equal(
-                    np.asarray(a.q.astype(jnp.int8)),
-                    np.asarray(b.q.astype(jnp.int8)))
+                assert b.packed == a.packed and b.q.dtype == a.q.dtype
+                np.testing.assert_array_equal(np.asarray(a.q),
+                                              np.asarray(b.q))
