@@ -504,8 +504,16 @@ class ContinuousBatcher:
             #     aggregate throughput, and streaming consumers are the ones
             #     that care about admission latency;
             #   * throughput chunk (64) for pure whole-WAV load.
-            ramping = any(s.dispatched < self.ramp_frames and s.segment.ramp
-                          for s in active)
+            # saturation guard: with more segments queued than slots, every
+            # arrival waits out the backlog regardless — bounded first-chunk
+            # latency is already lost, so stop paying the ramp's throughput
+            # tax and drain the queue at full chunk size instead (a sustained
+            # arrival storm would otherwise pin the batch at warm chunks,
+            # ~0.48 vs 0.27 ms/slot-frame)
+            saturated = len(waiting) > self.batch
+            ramping = (not saturated
+                       and any(s.dispatched < self.ramp_frames and s.segment.ramp
+                               for s in active))
             streamy = any(s.segment.request.latency_sensitive for s in active)
             if ramping:
                 k, depth = self.warm_chunk, 1
