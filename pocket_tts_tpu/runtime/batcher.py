@@ -16,6 +16,11 @@ over all slots continuously, admitting/retiring requests between chunks:
 * Per-slot temperature / EOS-threshold vectors; EOS + frame budgets tracked on
   host; retired slots keep computing garbage until reused (the scan is
   static-shape — idle lanes are the price of zero recompilation).
+* Streaming arrivals get bounded time-to-first-audio: priority admission, a
+  warm-chunk ramp at pipeline depth 1, preemption of not-yet-emitting
+  segments at full occupancy, and a saturation guard that drops the ramp
+  when the backlog exceeds the batch (docs/performance.md, "Batched serving
+  latency").  Abandoned streams cancel their remaining work.
 """
 
 from __future__ import annotations
@@ -24,7 +29,6 @@ import dataclasses
 import logging
 import queue
 import threading
-import time
 from typing import Iterator
 
 import jax
