@@ -69,15 +69,14 @@ def parse_text_with_pauses(text: str) -> ParsedText:
     clean = strip_pause_markers(text)
     pauses = parse_natural_pauses(clean)
 
-    # explicit markers: recompute their positions in the clean text
+    # explicit markers, with positions recomputed in the clean text (each
+    # marker was replaced by one space)
     offset = 0
-    for m in _EXPLICIT_RE.finditer(text):
-        pos = max(m.start() - offset, 0)
-        value = float(m.group(1))
-        ms = int(value) if m.group(2) == "ms" else int(value * 1000)
-        if ms > 0:
-            pauses.append(PauseMarker(m.group(0), ms, pos))
-        offset += len(m.group(0)) - 1  # marker replaced by one space
+    for marker in parse_explicit_pauses(text):
+        pos = max(marker.position - offset, 0)
+        if marker.duration_ms > 0:
+            pauses.append(PauseMarker(marker.original, marker.duration_ms, pos))
+        offset += len(marker.original) - 1
     pauses.sort(key=lambda p: p.position)
     return ParsedText(clean, pauses)
 

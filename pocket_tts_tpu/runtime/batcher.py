@@ -186,6 +186,10 @@ class ContinuousBatcher:
         gen = self.model.gen
         key = jax.random.PRNGKey(0)
         state = engine.new_state(self.batch)
+        # admission program: its cache-DUS jit is otherwise created lazily at
+        # the first real admission, on the decode thread
+        state = engine.admit_slot(state, 0,
+                                  self.model.get_voice_state().as_dict())
         for width in tuple(getattr(engine._rcfg, "text_buckets", (8,))):
             tokens = np.ones((self.batch, width), np.int32)
             state = engine.prefill_tokens(
@@ -522,7 +526,11 @@ class ContinuousBatcher:
             if ramping:
                 k, depth = self.warm_chunk, 1
             elif streamy:
-                k, depth = min(self.serve_chunk, self.chunk), self.depth
+                # depth 1 while streams are resident: the in-flight backlog
+                # an arrival waits out is one serve chunk, not two (measured
+                # p90 350 -> ~250 ms at B=16; wall unchanged — the fetch
+                # still overlaps the executing chunk)
+                k, depth = min(self.serve_chunk, self.chunk), 1
             else:
                 k, depth = self.chunk, self.depth
             # window must cover the DISPATCHED frontier, not the routed one —

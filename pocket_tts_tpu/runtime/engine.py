@@ -67,12 +67,25 @@ def _bucket(n: int, buckets: tuple[int, ...]) -> int:
 
 @dataclasses.dataclass
 class GenParams:
-    """Per-request generation knobs (reference: config.rs:118-124)."""
+    """Per-request generation knobs (reference: config.rs:118-124).
+
+    Validated at construction so every load/override path fails loudly:
+    lsd_decode_steps=0 would run zero Euler iterations and emit raw noise as
+    audio, and a negative temp would sqrt() into NaN latents — both
+    previously returned HTTP 200 with garbage on the scalar decode path
+    (the vec path already raised)."""
 
     temp: float = 0.7
     lsd_decode_steps: int = 1
     noise_clamp: float | None = None
     eos_threshold: float = -4.0
+
+    def __post_init__(self):
+        if self.lsd_decode_steps < 1:
+            raise ValueError(
+                f"lsd_decode_steps must be >= 1, got {self.lsd_decode_steps}")
+        if not self.temp >= 0.0:  # also rejects NaN
+            raise ValueError(f"temp must be >= 0, got {self.temp}")
 
 
 def _cast_params(params: dict, dtype) -> dict:

@@ -160,5 +160,10 @@ def quantize_model(model: TTSModel, bits: int = 8) -> TTSModel:
     clone.__dict__.update(model.__dict__)
     clone.params = qparams
     clone.engine = Engine(model.config, qparams, batch_size=model.engine.batch)
+    # re-apply stage parallelism: the source model's POCKET_TTS_STAGE_CODEC
+    # opt-in lives on its engine, and the fresh engine must not silently
+    # drop it for --quantized runs
+    if getattr(model.engine, "_codec_device", None) is not None:
+        clone.engine.enable_staged_codec(model.engine._codec_device)
     clone.is_quantized = True
     return clone

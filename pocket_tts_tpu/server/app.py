@@ -88,6 +88,16 @@ def create_app(state: ServerState):
                 text=json.dumps({"error": f"{name} must be an integer"}),
                 content_type="application/json")
 
+    def _model_for(body: dict) -> TTSModel:
+        """Per-request overrides; invalid knob values (lsd_steps < 1,
+        negative temperature) are a 400, not a 500 or silent garbage."""
+        try:
+            return state.model_with_overrides(body)
+        except (ValueError, TypeError) as e:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": str(e)}),
+                content_type="application/json")
+
     @routes.get("/")
     async def index(request):
         from pathlib import Path
@@ -133,7 +143,7 @@ def create_app(state: ServerState):
         return web.json_response(out)
 
     async def _generate_wav(body: dict) -> bytes:
-        model = state.model_with_overrides(body)
+        model = _model_for(body)
         text = body.get("text") or body.get("input")
         if not text or not str(text).strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
@@ -181,7 +191,7 @@ def create_app(state: ServerState):
         data/audio.py:37-126) — a WAV header with a sentinel frame count,
         the first bytes held back until FIRST_CHUNK_LENGTH_SECONDS of audio
         is buffered, and 200 ms of trailing silence appended."""
-        model = state.model_with_overrides(body)
+        model = _model_for(body)
         text = body.get("text", "")
         if not str(text).strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),

@@ -139,7 +139,8 @@ class TTSModel:
         gen = GenParams(**{k: v for k, v in kwargs.items()
                            if k in ("temp", "lsd_decode_steps", "noise_clamp",
                                     "eos_threshold")})
-        return cls(cfg, params, gen=gen, has_real_weights=True)
+        return cls(cfg, params, gen=gen, has_real_weights=True,
+                   seed=kwargs.get("seed", 0))
 
     @classmethod
     def load_quantized(cls, path: str | Path,

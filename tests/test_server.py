@@ -332,3 +332,33 @@ def test_metrics_endpoint(model):
         loop.run_until_complete(client.close())
         loop.close()
         batcher.stop()
+
+
+def test_invalid_gen_knobs_are_400(client):
+    """lsd_steps=0 previously emitted raw noise as audio on the scalar
+    decode path (zero Euler iterations) and temperature<0 NaN'd the latents
+    — both with HTTP 200.  They must be client errors on every route."""
+    c, loop = client
+
+    async def go(body):
+        resp = await c.post("/generate", json=body)
+        return resp.status
+
+    assert loop.run_until_complete(go({"text": "x", "lsd_steps": 0})) == 400
+    assert loop.run_until_complete(go({"text": "x", "temperature": -1})) == 400
+    assert loop.run_until_complete(
+        go({"text": "x", "lsd_steps": 2, "temperature": 0.5})) == 200
+
+
+def test_genparams_validate():
+    import pytest as _pytest
+
+    from pocket_tts_tpu.runtime.engine import GenParams
+
+    with _pytest.raises(ValueError, match="lsd_decode_steps"):
+        GenParams(lsd_decode_steps=0)
+    with _pytest.raises(ValueError, match="temp"):
+        GenParams(temp=-0.1)
+    with _pytest.raises(ValueError, match="temp"):
+        GenParams(temp=float("nan"))
+    GenParams(temp=0.0, lsd_decode_steps=1, noise_clamp=0.0)  # all valid
