@@ -644,7 +644,14 @@ class Engine:
         return max(self._rcfg.text_buckets) + 192
 
     def encode_voice(self, audio: np.ndarray) -> tuple[jnp.ndarray, int]:
-        """24 kHz mono [T] or [1, T] -> ([1, frames, d_model] conditioning, frames).
+        """24 kHz mono [T] or [1, T] -> ([1, >=frames, d_model] conditioning, frames).
+
+        The returned conditioning keeps its BUCKET-PADDED width (frames
+        beyond the returned count are causal-padding garbage — consumers
+        mask by the count, e.g. prefill_conditioning's n_valid).  Slicing to
+        the exact frame count here would compile one eager device op per
+        distinct prompt length — seconds per new length on remote-compile
+        backends.
 
         Short prompts (up to the largest encode bucket) run one batch encode,
         bucketed on duration; longer prompts stream through fixed-size chunks
@@ -677,7 +684,7 @@ class Engine:
             if t < target:
                 audio = np.pad(audio, ((0, 0), (0, 0), (0, target - t)))
             cond = self._encode(self.params, jnp.asarray(audio))
-            return cond[:, :n_frames], n_frames
+            return cond, n_frames
         return self._encode_chunked(audio, n_frames), n_frames
 
     def _encode_chunked(self, audio: np.ndarray, n_frames: int) -> jnp.ndarray:
@@ -702,7 +709,7 @@ class Engine:
                 self.params, state, jnp.asarray(audio[..., start:start + samples]))
             conds.append(cond)
         full = conds[0] if len(conds) == 1 else self._concat_cond(*conds)
-        return full[:, :n_frames]
+        return full
 
 
     # -- generation-side helpers -------------------------------------------

@@ -233,7 +233,9 @@ class TTSModel:
         from safetensors.numpy import save_file
 
         cond, n_frames = self.engine.encode_voice(wav)
-        save_file({"audio_prompt": np.asarray(cond[:, :n_frames], np.float32)},
+        # slice the bucket padding off on host, after the fetch (a device
+        # slice would compile per distinct prompt length)
+        save_file({"audio_prompt": np.asarray(cond, np.float32)[:, :n_frames]},
                   str(path))
 
     def _prefill_voice(self, cond, n_frames: int,
@@ -253,16 +255,22 @@ class TTSModel:
                 "cache budget; keeping the most recent %d frames — load "
                 "with max_seq=<bigger> for longer prompts",
                 n_frames, self.engine._rcfg.max_seq, max(0, room))
-            cond = cond[:, n_frames - max(0, room):]
+            cond = cond[:, n_frames - max(0, room): n_frames]
             n_frames = max(0, room)
         # conditioning longer than the largest prompt bucket prefills in
         # bucket-sized pieces — positions continue from the cache cursor, so
-        # chunked prefill equals one-shot prefill
+        # chunked prefill equals one-shot prefill.  cond may carry bucket
+        # padding beyond n_frames (engine.encode_voice); slices land on
+        # max_bucket strides so the eager-slice shape set stays tiny, and
+        # prefill_conditioning's n_valid masks the padded tail.
         max_bucket = max(self.engine._rcfg.prompt_buckets)
+        width = cond.shape[1]
         off = 0
         while off < n_frames:
             n = min(max_bucket, n_frames - off)
-            st = self.engine.prefill_conditioning(st, cond[:, off:off + n], n)
+            piece = (cond if off == 0 and width <= max_bucket
+                     else cond[:, off:min(off + max_bucket, width)])
+            st = self.engine.prefill_conditioning(st, piece, n)
             off += n
         return VoiceState(st["kc"], st["vc"], st["pos"], base_len + n_frames)
 
@@ -289,7 +297,7 @@ class TTSModel:
                 "skipping continuation conditioning", voice_state.length)
             return voice_state
         if n_frames > room:
-            cond = cond[:, n_frames - room:]
+            cond = cond[:, n_frames - room: n_frames]
             n_frames = room
         return self._prefill_voice(cond, n_frames, base=voice_state)
 

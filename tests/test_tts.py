@@ -150,7 +150,10 @@ def test_long_voice_prompt_streams_untruncated(model):
 
     cond, got_frames = m2.engine.encode_voice(audio)
     assert got_frames == n_frames
-    assert cond.shape[1] == n_frames
+    # conditioning keeps its chunk-padded width; frames past n_frames are
+    # masked by consumers (engine.encode_voice docstring)
+    assert cond.shape[1] >= n_frames
+    cond = np.asarray(cond)[:, :n_frames]
 
     # chunked streaming == one-shot batch encode + projection
     lat = mimi_mod.encode_to_latent(m2.params["mimi"], m2.engine.plans,
