@@ -78,6 +78,11 @@ class TTSModel:
         # mutable holder so with_params() clones share and ADVANCE one RNG
         # stream (torch's process-global generator semantics in the reference)
         self._rng = {"key": jax.random.PRNGKey(seed)}
+        # lazily built, shared across requests: voice states are immutable
+        # (reset/prefill copy, never donate, their kc/vc inputs), and a
+        # ~50 MB fresh cache per unconditioned request exhausted HBM under
+        # sustained serving load
+        self._empty_voice: VoiceState | None = None
 
     # -- loading -----------------------------------------------------------
 
@@ -194,8 +199,10 @@ class TTSModel:
                     and str(source).endswith(".safetensors")):
                 return self.get_voice_state_from_prompt_file(source)
             return self.get_voice_state_from_wav(source, truncate=truncate)
-        st = self.engine.new_state()
-        return VoiceState(st["kc"], st["vc"], st["pos"], 0)
+        if self._empty_voice is None:
+            st = self.engine.new_state()
+            self._empty_voice = VoiceState(st["kc"], st["vc"], st["pos"], 0)
+        return self._empty_voice
 
     def get_voice_state_from_wav(self, path: str | Path | bytes,
                                  truncate: bool = False) -> VoiceState:

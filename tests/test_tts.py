@@ -440,3 +440,18 @@ def test_get_voice_state_accepts_path(model, tmp_path):
     assert via_st.length == direct.length
 
     assert model.get_voice_state().length == 0
+
+
+def test_empty_voice_state_is_shared(model):
+    """The unconditioned voice state is immutable and must be allocated once
+    — a fresh ~50 MB KV cache per request exhausted device memory under a
+    sustained serving soak (RESOURCE_EXHAUSTED after ~10k requests)."""
+    import numpy as np
+
+    a = model.get_voice_state()
+    b = model.get_voice_state()
+    assert a is b
+    # repeated use of the shared snapshot must not corrupt it
+    w1 = model.generate("Shared state check.", a)
+    w2 = model.generate("Shared state check.", b)
+    np.testing.assert_allclose(w1, w2, atol=1e-5)
