@@ -340,7 +340,12 @@ class ContinuousBatcher:
         req = getattr(req_out, "_pocket_request", None)
         try:
             while True:
-                item = req_out.get(timeout=timeout)
+                try:
+                    item = req_out.get(timeout=timeout)
+                except queue.Empty:
+                    raise TimeoutError(
+                        f"no audio chunk within {timeout}s "
+                        f"(batcher stats: {self.stats()})") from None
                 if item is _SENTINEL:
                     return
                 if isinstance(item, Exception):
@@ -367,7 +372,12 @@ class ContinuousBatcher:
                           latency_sensitive=False)
         chunks = []
         while True:
-            item = out.get(timeout=300.0)
+            try:
+                item = out.get(timeout=300.0)
+            except queue.Empty:
+                raise TimeoutError(
+                    f"no audio chunk within 300s "
+                    f"(batcher stats: {self.stats()})") from None
             if item is _SENTINEL:
                 break
             if isinstance(item, Exception):
