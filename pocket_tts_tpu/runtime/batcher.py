@@ -511,38 +511,7 @@ class ContinuousBatcher:
                     break
                 continue
 
-            # Chunk-size policy, smallest applicable wins (each size is its
-            # own compiled program):
-            #   * warm chunk + depth 1 while any ramp slot is young — the
-            #     newcomer's first audio is never stuck behind deep in-flight
-            #     steady chunks;
-            #   * serve chunk (32) while any STREAMING request is resident —
-            #     it halves the in-flight device backlog a future arrival
-            #     must wait out (~550 ms -> ~300 ms at B=16) for ~10% of
-            #     aggregate throughput, and streaming consumers are the ones
-            #     that care about admission latency;
-            #   * throughput chunk (64) for pure whole-WAV load.
-            # saturation guard: with more segments queued than slots, every
-            # arrival waits out the backlog regardless — bounded first-chunk
-            # latency is already lost, so stop paying the ramp's throughput
-            # tax and drain the queue at full chunk size instead (a sustained
-            # arrival storm would otherwise pin the batch at warm chunks,
-            # ~0.48 vs 0.27 ms/slot-frame)
-            saturated = len(waiting) > self.batch
-            ramping = (not saturated
-                       and any(s.dispatched < self.ramp_frames and s.segment.ramp
-                               for s in active))
-            streamy = any(s.segment.request.latency_sensitive for s in active)
-            if ramping:
-                k, depth = self.warm_chunk, 1
-            elif streamy:
-                # depth 1 while streams are resident: the in-flight backlog
-                # an arrival waits out is one serve chunk, not two (measured
-                # p90 350 -> ~250 ms at B=16; wall unchanged — the fetch
-                # still overlaps the executing chunk)
-                k, depth = min(self.serve_chunk, self.chunk), 1
-            else:
-                k, depth = self.chunk, self.depth
+            k, depth, ramping = self._chunk_policy(active, len(waiting))
             # window must cover the DISPATCHED frontier, not the routed one —
             # with pipelining frames_done lags by up to depth chunks, and a
             # too-small window would clamp KV writes onto the window edge
@@ -612,6 +581,36 @@ class ContinuousBatcher:
                     vecs_dirty = True  # a retirement changed slot occupancy
         while pending:
             self._route(slots, *pending.pop(0), frame_size)
+
+    def _chunk_policy(self, active, n_waiting: int) -> tuple[int, int, bool]:
+        """(chunk frames, pipeline depth, ramping) for the next dispatch.
+        Smallest applicable chunk wins (each size is its own compiled
+        program):
+
+        * warm chunk + depth 1 while any ramp slot is young — the newcomer's
+          first audio is never stuck behind deep in-flight steady chunks;
+        * serve chunk (32) + depth 1 while any STREAMING request is resident
+          — the in-flight backlog a future arrival waits out is ONE half-size
+          chunk (measured p90 350 -> ~250 ms at B=16; wall unchanged, the
+          fetch still overlaps the executing chunk);
+        * throughput chunk (64) + full depth for pure whole-WAV load.
+
+        Saturation guard: with more segments queued than slots, every
+        arrival waits out the backlog regardless — bounded first-chunk
+        latency is already lost, so stop paying the ramp's throughput tax
+        and drain at full chunk size (a sustained arrival storm would
+        otherwise pin the batch at warm chunks, ~0.48 vs 0.27 ms/slot-frame;
+        observed in a soak)."""
+        saturated = n_waiting > self.batch
+        ramping = (not saturated
+                   and any(s.dispatched < self.ramp_frames and s.segment.ramp
+                           for s in active))
+        streamy = any(s.segment.request.latency_sensitive for s in active)
+        if ramping:
+            return self.warm_chunk, 1, True
+        if streamy and not saturated:
+            return min(self.serve_chunk, self.chunk), 1, False
+        return self.chunk, self.depth, False
 
     @staticmethod
     def _pick_victim(slots) -> int | None:

@@ -427,3 +427,31 @@ def test_whole_wav_requests_skip_latency_policy(model):
         assert st["dispatches"] > 0
     finally:
         b.stop()
+
+
+def test_chunk_policy_matrix(model):
+    """Pure chunk-size/depth policy (see _chunk_policy docstring)."""
+    import queue as q
+
+    from pocket_tts_tpu.runtime.batcher import _Request, _Segment, _Slot
+
+    b = ContinuousBatcher(model, batch_size=4, chunk_frames=64, warm_chunk=8)
+
+    def slot(ramp, latency_sensitive, dispatched):
+        req = _Request(voice=None, gen=None, out=q.Queue(),
+                       latency_sensitive=latency_sensitive)
+        s = _Slot()
+        s.segment = _Segment(req, 0, "text", ramp=ramp)
+        s.dispatched = dispatched
+        return s
+
+    # young ramp slot -> warm chunk, shallow pipeline
+    assert b._chunk_policy([slot(True, True, 0)], 0) == (8, 1, True)
+    # mature streaming -> serve chunk, depth 1
+    assert b._chunk_policy([slot(True, True, 64)], 0) == (32, 1, False)
+    # whole-WAV only -> throughput chunk, full depth
+    assert b._chunk_policy([slot(False, False, 0)], 0) == (64, 2, False)
+    # saturation (backlog > batch): even a young ramp slot drains full-size
+    assert b._chunk_policy([slot(True, True, 0)], 5) == (64, 2, False)
+    # backlog at exactly batch width is NOT saturated
+    assert b._chunk_policy([slot(True, True, 0)], 4) == (8, 1, True)
