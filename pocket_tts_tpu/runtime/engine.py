@@ -238,6 +238,53 @@ class Engine:
                            np.int32(slot), voice_state["kc"],
                            voice_state["vc"], voice_state["pos"])
 
+    def _admit_prefill_impl(self, params, state, slot, kc_v, vc_v, pos_v,
+                            tokens_row, n_tokens):
+        """Fused admission: voice-snapshot install + THIS lane's text prefill
+        in one program.  The lane is sliced out of the batched cache, prefilled
+        at B=1 (1/B of the batched prefill FLOPs — other lanes used to compute
+        causally-invisible garbage), and written back."""
+        st = self._admit_impl(params, state, slot, kc_v, vc_v, pos_v)
+        kc1 = jax.lax.dynamic_slice_in_dim(st["kc"], slot, 1, axis=1)
+        vc1 = jax.lax.dynamic_slice_in_dim(st["vc"], slot, 1, axis=1)
+        pos1 = jax.lax.dynamic_slice_in_dim(st["pos"], slot, 1, axis=0)
+        emb = flow_lm.embed_text(params, tokens_row)
+        kc1, vc1, pos1 = flow_lm.prefill(
+            params, self.cfg, kc1, vc1, pos1, emb,
+            jnp.full((1,), n_tokens, jnp.int32))
+        zk = [0] * st["kc"].ndim
+        zk[1] = slot
+        return {**st,
+                "kc": jax.lax.dynamic_update_slice(st["kc"], kc1, tuple(zk)),
+                "vc": jax.lax.dynamic_update_slice(st["vc"], vc1, tuple(zk)),
+                "pos": jax.lax.dynamic_update_slice(st["pos"], pos1, (slot,))}
+
+    def admit_prefill_slot(self, state: dict, slot: int, voice_state: dict,
+                           tokens_row, n_tokens: int) -> dict:
+        """One-dispatch admission for the continuous batcher: admit_slot +
+        this slot's text prefill fused into a single program.  Replaces the
+        two-program admit + batched-prefill sequence on the time-to-first-
+        audio critical path (each extra program costs ~10-30 ms device fixed
+        time on the tunneled backend).  ``tokens_row`` should be a
+        DEVICE-RESIDENT [1, bucket] int32 row (pre-uploaded off-thread at
+        submit time so the h2d transfer overlaps the in-flight decode chunk
+        instead of serializing into the admission path)."""
+        if not hasattr(self, "_admit_prefill"):
+            self._admit_prefill = jax.jit(self._admit_prefill_impl,
+                                          donate_argnums=(1,))
+        return self._admit_prefill(self.params["flow_lm"], state,
+                                   np.int32(slot), voice_state["kc"],
+                                   voice_state["vc"], voice_state["pos"],
+                                   tokens_row, np.int32(n_tokens))
+
+    def pad_token_row(self, tokens: np.ndarray) -> jnp.ndarray:
+        """[1, n] int32 -> device-resident [1, bucket] row for
+        admit_prefill_slot (async upload; safe from any thread)."""
+        bucket = _bucket(tokens.shape[1], self._rcfg.text_buckets)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[:, : tokens.shape[1]] = tokens
+        return jax.device_put(padded)
+
     # -- prefill ----------------------------------------------------------
 
     def _prefill_tokens_impl(self, params, kc, vc, pos, tokens, t_valid):
