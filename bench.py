@@ -7,6 +7,12 @@ value = audio-seconds generated per wall-second (higher is better).
 vs_baseline compares against the reference Rust/Candle CPU implementation's
 published ~3x real-time (BASELINE.md: RTF 0.33 on Apple M4 Max).
 
+The JSON line additionally carries the serving numbers machine-readably
+(first_chunk_p50_ms, batched_p50_x, batched_best_x, batched_stream_p50_ms,
+batched_stream_p90_ms, int8_x, single_p50_late_x) and the same numbers are
+re-printed to stderr immediately before the JSON so they survive the
+driver's 2000-char stderr tail.
+
 Details (first-chunk latency, per-frame ms) go to stderr.  EOS is disabled
 (threshold +inf) so the run generates the full frame budget — random weights
 would otherwise EOS immediately, and RTF is weight-independent compute.
@@ -40,6 +46,9 @@ def main():
 
     from pocket_tts_tpu import TTSModel
 
+    # serving numbers folded into the final JSON line (None = leg failed)
+    extra = {}
+
     t0 = time.time()
     model = TTSModel.load(eos_threshold=float("inf"))  # never stop early
     print(f"load: {time.time()-t0:.1f}s real_weights={model.has_real_weights} "
@@ -63,6 +72,7 @@ def main():
         for _ in it:
             pass
     p50_first = sorted(lats)[len(lats) // 2]
+    extra["first_chunk_p50_ms"] = round(p50_first * 1000, 1)
     print(f"first-chunk p50: {p50_first*1000:.0f} ms "
           f"({len(first)/model.sample_rate*1000:.0f} ms audio)", file=sys.stderr)
 
@@ -119,6 +129,8 @@ def main():
         total, dt = runs[len(runs) // 2]
         btotal, bdt = runs[0]
         sum_dt = sum(r[1] for r in runs)
+        extra["batched_p50_x"] = round(total / dt, 1)
+        extra["batched_best_x"] = round(btotal / bdt, 1)
         print(f"batched B={NB}: p50 {total:.1f}s audio in {dt:.2f}s -> "
               f"aggregate {total/dt:.1f}x realtime ({total/dt/NB:.1f}x per "
               f"stream); best {btotal/bdt:.1f}x; transport "
@@ -160,6 +172,8 @@ def main():
         lat_ms.clear()
         staggered_pass()
         lat_ms.sort()
+        extra["batched_stream_p50_ms"] = round(lat_ms[len(lat_ms) // 2], 1)
+        extra["batched_stream_p90_ms"] = round(lat_ms[int(len(lat_ms) * 0.9)], 1)
         print(f"batched streaming first-chunk latency (B={NB}, staggered "
               f"arrivals over 2.5s): p50 {lat_ms[len(lat_ms)//2]:.0f} ms, "
               f"p90 {lat_ms[int(len(lat_ms)*0.9)]:.0f} ms, "
@@ -187,6 +201,7 @@ def main():
             wav = qmodel.generate(TEXT)
             qbest = max(qbest, wav.size / model.sample_rate
                         / (time.perf_counter() - t0))
+        extra["int8_x"] = round(qbest, 1)
         print(f"int8: {qbest:.1f}x realtime, SNR dB min {min(snrs.values()):.1f} "
               f"mean {sum(snrs.values())/len(snrs):.1f} over {len(snrs)} tensors",
               file=sys.stderr)
@@ -197,18 +212,33 @@ def main():
     # a tight cluster of 5 early runs can all land in a slow phase.  Sample
     # again now — several minutes of batched/int8 phases later — and keep the
     # overall best of the identical measurement.
+    late = []
     for i in range(3):
         t0 = time.perf_counter()
         wav = model.generate(TEXT)
         x_rt = wav.size / model.sample_rate / (time.perf_counter() - t0)
         best = max(best, x_rt)
+        late.append(x_rt)
         print(f"late-sample run {i}: {x_rt:.1f}x realtime", file=sys.stderr)
+    # p50 of the late samples: the trend-line statistic (best-of-8 is the
+    # headline because weather phases make it the achievable number, but the
+    # median late sample is the reproducible one)
+    extra["single_p50_late_x"] = round(sorted(late)[len(late) // 2], 1)
+
+    # Recap: every serving number on stderr IMMEDIATELY before the JSON so
+    # the driver's 2000-char stderr tail keeps them (VERDICT r3 item 1).
+    print("=== serving summary ===", file=sys.stderr)
+    for k in ("first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
+              "batched_stream_p50_ms", "batched_stream_p90_ms", "int8_x",
+              "single_p50_late_x"):
+        print(f"{k}: {extra.get(k, 'FAILED')}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "single_stream_x_realtime",
         "value": round(best, 2),
         "unit": "audio_seconds_per_wall_second",
         "vs_baseline": round(best / BASELINE_X_REALTIME, 2),
+        **extra,
     }))
 
 
