@@ -100,6 +100,68 @@ def test_flagship_dims_sharded_equals_single_device(tp):
     np.testing.assert_allclose(sh_latent, ref_latent, atol=2e-4, rtol=1e-3)
 
 
+def test_dp_sharded_batched_admission():
+    """The serving tier's admission path over the dp axis (VERDICT r3 #3):
+    admit_slot (dynamic_update_slice into the dp-sharded batch) -> per-slot
+    vector-n_valid prefill -> decode must match the identical single-device
+    program slot for slot.  Two admitted "requests" with different voice
+    snapshots AND different text occupy slots 0-1; slots 2-3 stay idle
+    (n_valid 0), as in the ContinuousBatcher."""
+    import __graft_entry__ as ge
+    from pocket_tts_tpu.parallel.mesh import make_mesh, shard_params, shard_state
+    from pocket_tts_tpu.runtime.engine import Engine, GenParams
+
+    cfg = ge.tiny_config(heads=8)
+    B = 4
+    key = jax.random.PRNGKey(7)
+    params = ge._build(cfg)[1]
+
+    # voice snapshots with DIFFERENT prompts, built once on a single device
+    # and reused by both runs (they are immutable inputs to admission)
+    ve = Engine(cfg, params, batch_size=1)
+
+    def make_voice(toks):
+        st = ve.prefill_tokens(ve.new_state(1), toks, toks.shape[1])
+        return {"kc": jax.device_get(st["kc"]), "vc": jax.device_get(st["vc"]),
+                "pos": jax.device_get(st["pos"])}
+
+    vs_a = make_voice(np.arange(1, 7, dtype=np.int32)[None])
+    vs_b = make_voice(np.arange(3, 11, dtype=np.int32)[None])
+
+    text = np.zeros((B, 6), np.int32)
+    text[0] = np.arange(10, 16)
+    text[1, :4] = np.arange(20, 24)
+    n_valid = np.array([6, 4, 0, 0], np.int32)
+
+    def run(mesh):
+        engine = Engine(cfg, params, batch_size=B, mesh=mesh)
+
+        def go():
+            state = engine.new_state(B)
+            if mesh is not None:
+                engine.params = shard_params(engine.params, mesh)
+                state = shard_state(state, mesh)
+            state = engine.admit_slot(state, 0, vs_a)
+            state = engine.admit_slot(state, 1, vs_b)
+            state = engine.prefill_tokens(state, text, n_valid)
+            state, _, audio, _ = engine.decode_frames(
+                state, key, 2, GenParams(temp=0.5))
+            return np.asarray(jax.device_get(audio))
+
+        if mesh is None:
+            return go()
+        with mesh:
+            return go()
+
+    ref = run(None)
+    sh = run(make_mesh(8))  # dp=2 x tp=4
+    assert sh.shape == ref.shape
+    # int16 PCM; collective reduction reordering may move a sample by 1 LSB
+    assert np.abs(sh.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+    # the two admitted requests must actually differ (different prompts)
+    assert np.abs(ref[0].astype(np.int32) - ref[1].astype(np.int32)).max() > 1
+
+
 def test_flagship_sharding_manifest():
     """Guard against silent de-sharding: at flagship dims every transformer
     matmul group must be ACTUALLY distributed for all supported tp (a config
