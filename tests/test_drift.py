@@ -1,0 +1,94 @@
+"""Flagship-dims batch-lane drift regression guard (VERDICT r3 weak #3).
+
+B>1 decode accumulates batch-size-dependent f32 rounding that the AR feedback
+loop amplifies (ROADMAP.md: ~5e-4 latent drift over a short segment at B=2 at
+production dims).  Bitwise parity holds only at B=1 — but the drift must stay
+BOUNDED: a cache-layout or fusion change that amplifies lane-dependent
+rounding (e.g. a reduction order that depends on batch index) would silently
+degrade served audio while every B=1 parity test stays green.  This test pins
+the envelope at production dims: each lane of a B=4 decode over 32 AR frames
+must track the identical B=1 trajectory within an order of magnitude of the
+measured drift.
+
+Slow (~2 min on CPU): compiles the ~90 MB flagship model twice (B=1, B=4).
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+
+from pocket_tts_tpu import weights
+from pocket_tts_tpu.config import RuntimeConfig, load_variant
+from pocket_tts_tpu.models.mimi import MimiPlans
+from pocket_tts_tpu.runtime.engine import Engine, GenParams
+
+N_FRAMES = 32  # 4 chunks of 8: enough AR feedback steps to amplify drift
+CHUNK = 8
+
+
+def test_flagship_batch_lane_drift_bounded():
+    cfg = load_variant("b6369a24")
+    cfg = dataclasses.replace(cfg, runtime=RuntimeConfig(
+        max_seq=1024, text_buckets=(8,), prompt_buckets=(64,),
+        decode_chunks=(CHUNK,), compute_dtype="float32"))
+    plans = MimiPlans(cfg.mimi)
+    params = weights.random_params(cfg, plans, seed=11)
+
+    # four requests with different texts (different lengths exercise the
+    # vector-n_valid prefill the batcher uses)
+    token_rows = [
+        np.array([[11, 402, 1777, 9, 3055, 42]], np.int32),
+        np.array([[7, 1201, 33, 940]], np.int32),
+        np.array([[2500, 18, 777, 1212, 5, 66]], np.int32),
+        np.array([[99, 3001]], np.int32),
+    ]
+    gen = GenParams(temp=0.0)  # noise == 0: drift is pure rounding, not RNG
+    key = jax.random.PRNGKey(0)
+
+    def decode(engine, state):
+        lat_hist = []
+        audio = []
+        k = key
+        for _ in range(N_FRAMES // CHUNK):
+            state, k, pcm, _ = engine.decode_frames(state, k, CHUNK, gen)
+            lat_hist.append(np.asarray(jax.device_get(state["latent"])))
+            audio.append(np.asarray(jax.device_get(pcm)))
+        return np.stack(lat_hist, 1), np.concatenate(audio, -1)  # [B,T,D],[B,S]
+
+    # ---- B=1 references, one per request ----
+    e1 = Engine(cfg, params, batch_size=1)
+    ref_lat, ref_audio = [], []
+    for toks in token_rows:
+        st = e1.prefill_tokens(e1.new_state(1), toks, toks.shape[1])
+        lat, aud = decode(e1, st)
+        ref_lat.append(lat[0])
+        ref_audio.append(aud[0])
+    ref_lat = np.stack(ref_lat)
+    ref_audio = np.stack(ref_audio)
+
+    # ---- B=4, same four requests in one batch ----
+    e4 = Engine(cfg, params, batch_size=4)
+    width = max(t.shape[1] for t in token_rows)
+    batch_tokens = np.zeros((4, width), np.int32)
+    n_valid = np.zeros((4,), np.int32)
+    for i, t in enumerate(token_rows):
+        batch_tokens[i, : t.shape[1]] = t
+        n_valid[i] = t.shape[1]
+    st = e4.prefill_tokens(e4.new_state(4), batch_tokens, n_valid)
+    got_lat, got_audio = decode(e4, st)
+
+    # Envelope: measured flagship drift is ~5e-4 (TPU, B=2, short segment);
+    # bound at 10x so only a real amplification regression trips, while still
+    # catching anything that breaks lane independence outright.
+    drift = np.abs(got_lat - ref_lat).max()
+    assert drift < 5e-3, f"batch-lane latent drift {drift} exceeds envelope"
+    # per-lane trajectory correlation (the statistic ROADMAP reports)
+    for i in range(4):
+        a, b = got_lat[i].ravel(), ref_lat[i].ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.9999, f"lane {i} corr {corr}"
+    # audio is int16 PCM: allow drift-scaled LSBs, catch gross divergence
+    lsb = np.abs(got_audio.astype(np.int32) - ref_audio.astype(np.int32)).max()
+    assert lsb <= 164, f"batch-lane audio drift {lsb} LSB"  # 5e-3 full-scale

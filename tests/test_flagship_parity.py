@@ -66,13 +66,18 @@ def _build_flagship_oracle(cfg):
     return flow, mimi_m
 
 
-def test_flagship_dims_engine_matches_oracle_e2e():
+@pytest.fixture(scope="module")
+def flagship():
+    """One shared oracle build + reference trajectory for all three decode
+    programs (chunked scan, fused while_loop segment, staged codec) — building
+    the ~90 MB model dominates the test cost (VERDICT r3 #5)."""
     cfg = load_variant("b6369a24")
     # production model dims; small static budgets so the one-off CPU compile
     # stays bounded (buckets are runtime packaging, not model architecture)
     cfg = dataclasses.replace(cfg, runtime=RuntimeConfig(
         max_seq=1024, text_buckets=(8,), prompt_buckets=(64,),
-        decode_chunks=(2, 2), compute_dtype="float32"))
+        decode_chunks=(2, 2), segment_buckets=(N_FRAMES,),
+        compute_dtype="float32"))
     flow_oracle, mimi_oracle = _build_flagship_oracle(cfg)
     sd = {f"flow_lm.{k}": v
           for k, v in oracle.torch_state_dict_to_numpy(flow_oracle).items()}
@@ -117,20 +122,10 @@ def test_flagship_dims_engine_matches_oracle_e2e():
             latent = nxt[:, None, :]
         ref_audio = np.concatenate(audio_chunks, -1)[0, 0]
 
-    # ---- engine: bucketed prefill + chunked scan + grouped codec decode ----
-    engine = Engine(cfg, params, batch_size=1)
-    state = engine.new_state()
-    state = engine.prefill_tokens(state, np.asarray(tokens.numpy(), np.int32),
-                                  int(tokens.shape[1]))
-    key = jax.random.PRNGKey(0)
-    gen = GenParams(temp=0.0)  # noise == 0 -> deterministic
-    got = []
-    for k in (2, 2):
-        state, key, audio, _ = engine.decode_frames(state, key, k, gen)
-        got.append(np.asarray(jax.device_get(audio))[0]
-                   .astype(np.float32) / 32767.0)
-    got_audio = np.concatenate(got)
+    return cfg, params, np.asarray(tokens.numpy(), np.int32), ref_audio, latents
 
+
+def _check(engine, state, got_audio, ref_audio, latents):
     assert got_audio.shape == ref_audio.shape
     # final AR latent: the quantity the whole feedback loop runs on
     got_latent = np.asarray(jax.device_get(state["latent"]))
@@ -139,3 +134,61 @@ def test_flagship_dims_engine_matches_oracle_e2e():
     # 4 AR feedback steps bound the rest
     assert np.abs(got_audio - ref_audio).max() < 1e-3, \
         np.abs(got_audio - ref_audio).max()
+
+
+def test_flagship_dims_engine_matches_oracle_e2e(flagship):
+    # ---- engine: bucketed prefill + chunked scan + grouped codec decode ----
+    cfg, params, tokens, ref_audio, latents = flagship
+    engine = Engine(cfg, params, batch_size=1)
+    state = engine.new_state()
+    state = engine.prefill_tokens(state, tokens, int(tokens.shape[1]))
+    key = jax.random.PRNGKey(0)
+    gen = GenParams(temp=0.0)  # noise == 0 -> deterministic
+    got = []
+    for k in (2, 2):
+        state, key, audio, _ = engine.decode_frames(state, key, k, gen)
+        got.append(np.asarray(jax.device_get(audio))[0]
+                   .astype(np.float32) / 32767.0)
+    _check(engine, state, np.concatenate(got), ref_audio, latents)
+
+
+def test_flagship_dims_decode_segment_matches_oracle(flagship):
+    """The fused while_loop segment program — the path real-weight users hit
+    by default (EOS is finite, segment_dispatch='auto') — at flagship dims
+    (VERDICT r3 #5).  eos_threshold=+inf keeps the on-device stop rule from
+    firing on random weights, so exactly max_frames frames decode."""
+    cfg, params, tokens, ref_audio, latents = flagship
+    engine = Engine(cfg, params, batch_size=1)
+    state = engine.new_state()
+    state = engine.prefill_tokens(state, tokens, int(tokens.shape[1]))
+    gen = GenParams(temp=0.0, eos_threshold=float("inf"))
+    state, _, audio, n_valid, eos_step = engine.decode_segment(
+        state, jax.random.PRNGKey(0), gen,
+        max_frames=N_FRAMES, frames_after_eos=2, bucket=N_FRAMES)
+    assert int(n_valid) == N_FRAMES and int(eos_step) == -1
+    got_audio = (np.asarray(jax.device_get(audio))[0]
+                 .astype(np.float32) / 32767.0)
+    _check(engine, state, got_audio, ref_audio, latents)
+
+
+def test_flagship_dims_staged_codec_matches_oracle(flagship):
+    """The staged-codec split (AR on device 0, Mimi on device 1, chained by
+    an inter-device latent transfer) at flagship dims (VERDICT r3 #5)."""
+    cfg, params, tokens, ref_audio, latents = flagship
+    engine = Engine(cfg, params, batch_size=1)
+    engine.enable_staged_codec(jax.devices()[1])
+    state = engine.new_state()
+    # reset_for_segment moves the Mimi state to the codec device (the per-
+    # segment transfer tts.py relies on)
+    state = engine.reset_for_segment(
+        {"kc": state["kc"], "vc": state["vc"], "pos": state["pos"]})
+    state = engine.prefill_tokens(state, tokens, int(tokens.shape[1]))
+    key = jax.random.PRNGKey(0)
+    gen = GenParams(temp=0.0)
+    got = []
+    for k in (2, 2):
+        state, key, audio, _ = engine.decode_frames(state, key, k, gen)
+        assert list(audio.devices()) == [jax.devices()[1]]
+        got.append(np.asarray(jax.device_get(audio))[0]
+                   .astype(np.float32) / 32767.0)
+    _check(engine, state, np.concatenate(got), ref_audio, latents)
