@@ -314,6 +314,11 @@ class TTSModel:
         prepared, _ = text_mod.prepare_text_prompt(text)
         return text_mod.max_generation_frames(prepared)
 
+    def split_into_best_sentences(self, text: str) -> list[str]:
+        """Method-level home matching the reference API (tts_model.rs:604);
+        delegates to the canonical algorithm in ``text.py``."""
+        return text_mod.split_into_best_sentences(self.tokenizer, text)
+
     def generate(self, text: str, voice_state: VoiceState | None = None,
                  frames_after_eos: int | None = None, *,
                  continuation_frames: int = 0) -> np.ndarray:

@@ -7,6 +7,7 @@ import pytest
 
 import jax
 
+from pocket_tts_tpu import text as text_mod
 from pocket_tts_tpu import weights
 from pocket_tts_tpu.config import (
     Config, FlowConfig, FlowLMConfig, LookupTableConfig, MimiConfig,
@@ -44,6 +45,14 @@ def model():
     plans = MimiPlans(CFG.mimi)
     params = weights.random_params(CFG, plans, seed=3)
     return TTSModel(CFG, params, gen=GenParams(temp=0.0), has_real_weights=False)
+
+
+def test_split_into_best_sentences_method(model):
+    # method-level home matching tts_model.rs:604 (VERDICT r3 item 8)
+    text = "This is the first sentence. And here is the second one!"
+    assert model.split_into_best_sentences(text) == \
+        text_mod.split_into_best_sentences(model.tokenizer, text)
+    assert len(model.split_into_best_sentences(text)) >= 1
 
 
 def test_generate_shape_and_determinism(model):
