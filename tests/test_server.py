@@ -362,3 +362,67 @@ def test_genparams_validate():
     with _pytest.raises(ValueError, match="temp"):
         GenParams(temp=float("nan"))
     GenParams(temp=0.0, lsd_decode_steps=1, noise_clamp=0.0)  # all valid
+
+
+# ---------------------------------------------------------------------------
+# Web UI fetch contract (VERDICT r3 item 7): the fields webui.html's body()
+# actually sends must be accepted by /stream (and /generate), so a server-side
+# rename can't silently break the page.  The field list is scraped from the
+# page source, not duplicated here.
+# ---------------------------------------------------------------------------
+
+def _webui_body_fields() -> set:
+    import re
+    from pathlib import Path
+    from pocket_tts_tpu.server import app as app_mod
+
+    src = (Path(app_mod.__file__).parent / "webui.html").read_text()
+    body_js = re.search(r"const body = \(\) => \{(.*?)\n\};", src, re.S).group(1)
+    # object-literal keys (text:, voice:, ...) + conditional `b.foo =` fields
+    fields = set(re.findall(r"^\s*(\w+):", body_js, re.M))
+    fields |= set(re.findall(r"\bb\.(\w+)\s*=", body_js))
+    return fields
+
+
+def test_webui_fetch_contract(client):
+    c, loop = client
+    fields = _webui_body_fields()
+    # the page must at minimum send the reference SPA's request shape
+    assert {"text", "voice", "temperature", "lsd_steps"} <= fields
+    # every knob the page can send, all at once, through the page's endpoints
+    body = {"text": "Contract check.", "voice": None, "temperature": 0.6,
+            "lsd_steps": 2, "noise_clamp": 1.5, "eos_threshold": 4.0,
+            "continuation_frames": 0}
+    assert set(body) == fields, (set(body), fields)
+    body["voice"] = "alba"
+
+    async def go():
+        resp = await c.post("/stream", json=body)
+        assert resp.status == 200, await resp.text()
+        data = await resp.read()
+        resp2 = await c.post("/generate", json=body)
+        assert resp2.status == 200, await resp2.text()
+        return data, await resp2.read()
+
+    pcm, wav = loop.run_until_complete(go())
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+    _check_wav(wav)
+
+
+def test_webui_endpoints_exist(client):
+    """Every endpoint the page fetches must be routed (scraped, not listed)."""
+    import re
+    from pathlib import Path
+    from pocket_tts_tpu.server import app as app_mod
+
+    src = (Path(app_mod.__file__).parent / "webui.html").read_text()
+    endpoints = set(re.findall(r"fetch\('(/[\w/]*)'", src))
+    assert {"/stream", "/generate"} <= endpoints
+    c, loop = client
+
+    async def go():
+        for ep in endpoints:
+            resp = await c.post(ep, json={"text": "ping"})
+            assert resp.status == 200, (ep, await resp.text())
+
+    loop.run_until_complete(go())
