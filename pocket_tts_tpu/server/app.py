@@ -272,7 +272,11 @@ def create_app(state: ServerState):
 
         # occupancy-adaptive routing (see _generate_wav); decided here, with
         # no await before the lock acquisition below, so the check is atomic
-        # on the event loop
+        # on the event loop.  Occupancy CAN change earlier — voice resolution
+        # above awaits in the executor — but every stale outcome is benign:
+        # worst case a second stream rides the batcher (slightly higher
+        # latency than the exclusive single-stream engine) or briefly queues
+        # on the lock.  Correctness never depends on the snapshot.
         use_batcher = (state.batcher is not None and cont <= 0
                        and (state.lock.locked() or not state.batcher.idle()))
         ctx = contextlib.nullcontext() if use_batcher else state.lock
