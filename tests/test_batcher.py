@@ -455,3 +455,45 @@ def test_chunk_policy_matrix(model):
     assert b._chunk_policy([slot(True, True, 0)], 5) == (64, 2, False)
     # backlog at exactly batch width is NOT saturated
     assert b._chunk_policy([slot(True, True, 0)], 4) == (8, 1, True)
+
+    # arrival pressure (waiting streamer, occupancy full, not saturated):
+    # pressure chunk at depth 1 even though the resident slot is mature
+    assert b._chunk_policy([slot(True, True, 64)], 1) == (16, 1, False)
+    assert b._chunk_policy([slot(False, False, 64)], 1) == (16, 1, False)
+
+
+def test_fused_admission_equals_admit_plus_prefill(model):
+    """engine.admit_prefill_slot (one program) must produce the same state as
+    admit_slot + batched prefill_tokens (two programs) for the admitted slot:
+    same cache lanes, same pos, same subsequent decode audio."""
+    engine = model.engine
+    B = 3
+    voice = model.get_voice_state().as_dict()
+    toks = np.array([[5, 9, 2, 7]], np.int32)
+    key = jax.random.PRNGKey(1)
+    gen = GenParams(temp=0.0)
+
+    # path A: two-program sequence (admission's original formulation)
+    st_a = engine.new_state(B)
+    st_a = engine.admit_slot(st_a, 1, voice)
+    batch_toks = np.zeros((B, toks.shape[1]), np.int32)
+    batch_toks[1] = toks[0]
+    n_valid = np.array([0, toks.shape[1], 0], np.int32)
+    st_a = engine.prefill_tokens(st_a, batch_toks, n_valid)
+
+    # path B: fused single program with a pre-uploaded row
+    st_b = engine.new_state(B)
+    row = engine.pad_token_row(toks)
+    st_b = engine.admit_prefill_slot(st_b, 1, voice, row, toks.shape[1])
+
+    for k in ("kc", "vc"):
+        a = np.asarray(jax.device_get(st_a[k]))[:, 1]
+        bv = np.asarray(jax.device_get(st_b[k]))[:, 1]
+        np.testing.assert_allclose(bv, a, atol=1e-5, rtol=1e-5)
+    assert int(jax.device_get(st_a["pos"])[1]) == \
+        int(jax.device_get(st_b["pos"])[1])
+
+    _, _, aud_a, _ = engine.decode_frames(st_a, key, 2, gen)
+    _, _, aud_b, _ = engine.decode_frames(st_b, key, 2, gen)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(aud_a))[1],
+                                  np.asarray(jax.device_get(aud_b))[1])
