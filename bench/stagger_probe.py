@@ -53,7 +53,8 @@ def main():
 
     model = TTSModel.load(eos_threshold=float("inf"))
     NB = 16
-    b = ContinuousBatcher(model, batch_size=NB, chunk_frames=64, depth=2)
+    b = ContinuousBatcher(model, batch_size=NB, chunk_frames=64, depth=2,
+                          warm_chunk=8)
     press = b.press_chunk
     t0 = time.time()
     b.warmup()

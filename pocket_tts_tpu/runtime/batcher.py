@@ -593,8 +593,15 @@ class ContinuousBatcher:
         Smallest applicable chunk wins (each size is its own compiled
         program):
 
-        * warm chunk + depth 1 while any ramp slot is young — the newcomer's
-          first audio is never stuck behind deep in-flight steady chunks;
+        * warm chunk while any ramp slot is young — the newcomer's first
+          audio is never stuck behind deep in-flight steady chunks.  Depth 0
+          (fetch IMMEDIATELY after dispatch, no pipelining) until every ramp
+          slot has emitted its first chunk: on this backend a result fetch
+          rides the FIFO tunnel BEHIND any already-enqueued dispatch, so at
+          depth 1 the first chunk's audio waits out a whole second chunk's
+          execution (instrumented idle admission: ~300-400 ms e2e vs the
+          ~130 ms sum of admit+chunk+fetch walls; depth 0 removes the
+          difference).  Once first audio is out, depth 1 restores overlap;
         * pressure chunk (16) + depth 1 while a STREAMING-FIRST segment is
           waiting for admission but the queue hasn't saturated — occupancy is
           full (preemption found no victim), so it admits only on a
@@ -620,7 +627,9 @@ class ContinuousBatcher:
                            for s in active))
         streamy = any(s.segment.request.latency_sensitive for s in active)
         if ramping:
-            return self.warm_chunk, 1, True
+            first_audio_pending = any(
+                s.frames_done == 0 and s.segment.ramp for s in active)
+            return self.warm_chunk, (0 if first_audio_pending else 1), True
         if n_waiting and not saturated:
             return min(self.press_chunk, self.chunk), 1, False
         if streamy and not saturated:

@@ -423,9 +423,11 @@ class TTSModel:
             while True:
                 in_flight = sum(len(s.pending) for s in active)
                 # head-of-stream latency: the tunnel serializes fetches behind
-                # queued executes, so fetch the first chunk at depth 1 before
-                # filling the pipeline with the big steady-state chunks
-                if in_flight > (depth if emitted_any else 1):
+                # queued executes, so before ANY audio has been emitted keep
+                # exactly one dispatch in flight and fetch it — a second
+                # queued chunk would ride ahead of the first chunk's fetch
+                # and add its whole execution to time-to-first-audio
+                if in_flight > (depth if emitted_any else 0):
                     break
                 seg = next((s for s in active if s.dispatchable), None)
                 if seg is not None:

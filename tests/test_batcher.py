@@ -437,16 +437,20 @@ def test_chunk_policy_matrix(model):
 
     b = ContinuousBatcher(model, batch_size=4, chunk_frames=64, warm_chunk=8)
 
-    def slot(ramp, latency_sensitive, dispatched):
+    def slot(ramp, latency_sensitive, dispatched, frames_done=None):
         req = _Request(voice=None, gen=None, out=q.Queue(),
                        latency_sensitive=latency_sensitive)
         s = _Slot()
         s.segment = _Segment(req, 0, "text", ramp=ramp)
         s.dispatched = dispatched
+        s.frames_done = dispatched if frames_done is None else frames_done
         return s
 
-    # young ramp slot -> warm chunk, shallow pipeline
-    assert b._chunk_policy([slot(True, True, 0)], 0) == (8, 1, True)
+    # young ramp slot pre-first-audio -> warm chunk, depth 0 (fetch rides
+    # the FIFO tunnel behind queued dispatches; see _chunk_policy docstring)
+    assert b._chunk_policy([slot(True, True, 0)], 0) == (8, 0, True)
+    # young ramp slot whose first chunk already emitted -> depth 1 overlap
+    assert b._chunk_policy([slot(True, True, 8)], 0) == (8, 1, True)
     # mature streaming -> serve chunk, depth 1
     assert b._chunk_policy([slot(True, True, 64)], 0) == (32, 1, False)
     # whole-WAV only -> throughput chunk, full depth
@@ -454,7 +458,7 @@ def test_chunk_policy_matrix(model):
     # saturation (backlog > batch): even a young ramp slot drains full-size
     assert b._chunk_policy([slot(True, True, 0)], 5) == (64, 2, False)
     # backlog at exactly batch width is NOT saturated
-    assert b._chunk_policy([slot(True, True, 0)], 4) == (8, 1, True)
+    assert b._chunk_policy([slot(True, True, 0)], 4) == (8, 0, True)
 
     # arrival pressure (waiting streamer, occupancy full, not saturated):
     # pressure chunk at depth 1 even though the resident slot is mature
