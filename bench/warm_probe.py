@@ -1,0 +1,83 @@
+"""A/B probe: warm chunk 4 vs 8 at B=16 under the depth-0 pre-first-audio
+policy (the pre-depth-0 measurement that picked 8 is invalidated: each extra
+warm chunk then cost a fetch-behind-dispatch ride; now it doesn't).
+
+Usage (real TPU): python bench/warm_probe.py [passes_per_variant]
+"""
+
+import random
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog. "
+    "A journey of a thousand miles begins with a single step. "
+    "To be or not to be, that is the question worth asking today."
+)
+
+
+def staggered_pass(batcher, nb, rng):
+    lat_ms = []
+
+    def one_stream(delay_s):
+        time.sleep(delay_s)
+        t0 = time.perf_counter()
+        it = batcher.stream(TEXT)
+        next(it)
+        lat_ms.append((time.perf_counter() - t0) * 1000)
+        for _ in it:
+            pass
+
+    delays = [rng.uniform(0.0, 2.5) for _ in range(nb)]
+    threads = [threading.Thread(target=one_stream, args=(d,)) for d in delays]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+    lat_ms.sort()
+    return lat_ms, wall
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from pocket_tts_tpu import TTSModel
+    from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
+
+    model = TTSModel.load(eos_threshold=float("inf"))
+    NB = 16
+    batchers = {}
+    for wc in (8, 4):
+        b = ContinuousBatcher(model, batch_size=NB, chunk_frames=64, depth=2,
+                              warm_chunk=wc)
+        t0 = time.time()
+        b.warmup()
+        print(f"warmup wc={wc}: {time.time()-t0:.1f}s", file=sys.stderr)
+        b.start()
+        batchers[wc] = b
+
+    rng = random.Random(0)
+    results = {8: [], 4: []}
+    for b in batchers.values():
+        staggered_pass(b, NB, rng)  # e2e glue warm
+    for i in range(2 * n):
+        wc = 8 if i % 2 == 0 else 4
+        lat, wall = staggered_pass(batchers[wc], NB, rng)
+        p50, p90 = lat[len(lat) // 2], lat[int(len(lat) * 0.9)]
+        results[wc].append((p50, p90))
+        print(f"warm {wc}: p50 {p50:.0f} ms  p90 {p90:.0f} ms  "
+              f"max {lat[-1]:.0f} ms  wall {wall:.1f}s", file=sys.stderr)
+    for wc, runs in results.items():
+        p50s = sorted(r[0] for r in runs)
+        p90s = sorted(r[1] for r in runs)
+        print(f"warm {wc} summary: p50 med {p50s[len(p50s)//2]:.0f} ms  "
+              f"p90 med {p90s[len(p90s)//2]:.0f} ms over {len(runs)} passes",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -696,6 +696,10 @@ def batched_tts(model: TTSModel, batch_size: int = 4,
                 chunk_frames: int = 8, depth: int = 2,
                 warm_chunk: int | None = None) -> ContinuousBatcher:
     b = ContinuousBatcher(model, batch_size, chunk_frames, depth=depth,
-                          warm_chunk=warm_chunk or min(8, chunk_frames))
+                          # warm 4 beats 8 under the depth-0 pre-first-audio
+                          # policy (A/B at B=16: p50 med 170 vs 191 ms, p90
+                          # 229 vs 256); the older "warm 4 worse" result was
+                          # an artifact of the fetch-behind-dispatch ride
+                          warm_chunk=warm_chunk or min(4, chunk_frames))
     b.start()
     return b

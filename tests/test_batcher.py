@@ -245,13 +245,13 @@ def test_warm_ramp_defaults_on_in_batched_tts(model):
 
     b = batched_tts(model, batch_size=2, chunk_frames=16)
     try:
-        assert b.warm_chunk == 8
+        assert b.warm_chunk == 4
         assert b.idle()
         stream = b.stream("Idle probe check.")
         first = next(stream)
         # (a short request may retire before next() returns, so idle() can
         # already be True again here; EOS may clip below the warm size)
-        assert first.size <= 8 * model.frame_size  # warm-bounded, not 16
+        assert first.size <= 4 * model.frame_size  # warm-bounded, not 16
         for _ in stream:
             pass
         deadline = __import__("time").monotonic() + 10
