@@ -17,6 +17,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 
 def summarize(trace_dir: str, frames: int):
     paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
