@@ -192,6 +192,11 @@ class RuntimeConfig:
     # here the size is fixed because each size is a compiled program — one
     # variant serves any prompt length with carried streaming state.
     voice_prompt_chunk_frames: int = 240
+    # Device->host audio wire format.  "int16" = exact PCM (default).
+    # "mulaw" = G.711 8-bit companding (ops/mulaw.py): HALF the fetch bytes
+    # on a transport whose cost is ~30 ms + ~31 ms/MB, at ~37 dB SNR —
+    # opt-in for throughput-bound tunneled deployments.
+    transport_format: str = "int16"
 
     def __post_init__(self):
         # a typo like "fused"/"Auto" would otherwise silently degrade to the
@@ -204,6 +209,10 @@ class RuntimeConfig:
             raise ValueError(
                 f"runtime.compute_dtype must be 'auto', 'bfloat16' or "
                 f"'float32', got {self.compute_dtype!r}")
+        if self.transport_format not in ("int16", "mulaw"):
+            raise ValueError(
+                f"runtime.transport_format must be 'int16' or 'mulaw', "
+                f"got {self.transport_format!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -659,7 +659,7 @@ class ContinuousBatcher:
         (occupancy changed).  An epoch mismatch means the owner was preempted
         after this chunk was dispatched — its lane data is discarded."""
         audio, eos = jax.device_get((audio, is_eos))
-        audio = np.asarray(audio).astype(np.float32) / 32767.0
+        audio = self.engine.wire_to_float(audio)
         eos = np.asarray(eos)
         freed = False
         with self._lock:

@@ -31,6 +31,7 @@ import numpy as np
 from pocket_tts_tpu.config import Config
 from pocket_tts_tpu.models import flow_lm, flow_mlp, mimi, transformer
 from pocket_tts_tpu.models.mimi import MimiPlans
+from pocket_tts_tpu.ops import mulaw
 
 logger = logging.getLogger(__name__)
 
@@ -349,15 +350,31 @@ class Engine:
             state["vc"] = jax.lax.dynamic_update_slice(full_vc, state["vc"], zero)
         return state
 
-    @staticmethod
-    def _pcm16(audio) -> jnp.ndarray:
-        """Codec output [B, 1, T] float -> [B, T] int16 PCM.
+    def _pcm16(self, audio) -> jnp.ndarray:
+        """Codec output [B, 1, T] float -> [B, T] wire samples.
 
-        int16 is the device->host wire format: it is the final output format
-        (16-bit WAV / raw PCM streams), and f32 transfers of ~1 MB hit a
-        pathological slow path in the tunneled backend (2 s vs 3 ms)."""
+        int16 is the default device->host wire format: it is the final output
+        format (16-bit WAV / raw PCM streams), and f32 transfers of ~1 MB hit
+        a pathological slow path in the tunneled backend (2 s vs 3 ms).
+        transport_format="mulaw" compands to G.711 uint8 on device — half the
+        wire bytes on a ~30 ms + ~31 ms/MB fetch path (ops/mulaw.py)."""
         a = audio[:, 0, :].astype(jnp.float32)
-        return (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        pcm = (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        if self._rcfg.transport_format == "mulaw":
+            return mulaw.encode(pcm)
+        return pcm
+
+    @property
+    def wire_dtype(self):
+        return (jnp.uint8 if self._rcfg.transport_format == "mulaw"
+                else jnp.int16)
+
+    def wire_to_float(self, arr) -> "np.ndarray":
+        """Fetched wire samples -> float32 in [-1, 1] (host side)."""
+        a = np.asarray(arr)
+        if self._rcfg.transport_format == "mulaw":
+            a = mulaw.decode(a)
+        return a.astype(np.float32) / 32767.0
 
     def _ar_impl(self, params, state, key, gen, lsd_vec=None, *,
                  n_frames: int, lsd_steps: int, clamped, window: int = 0):
@@ -508,7 +525,7 @@ class Engine:
         n_pad = -(-n_frames // group) * group
         if n_pad > n_frames:
             lat_bct = jnp.pad(lat_bct, ((0, 0), (0, 0), (0, n_pad - n_frames)))
-        audio_buf = jnp.zeros((1, n_pad * self.frame_size), jnp.int16)
+        audio_buf = jnp.zeros((1, n_pad * self.frame_size), self.wire_dtype)
 
         def gbody(g, carry):
             def run(args):

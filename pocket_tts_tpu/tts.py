@@ -101,6 +101,7 @@ class TTSModel:
         seed: int = 0,
         voice_prompt_chunk_frames: int | None = None,
         max_seq: int | None = None,
+        transport_format: str | None = None,
     ) -> "TTSModel":
         """``voice_prompt_chunk_frames`` overrides the streaming voice-encode
         chunk size (the reference's load-time knob, tts_model.rs:59/:562-577);
@@ -114,6 +115,13 @@ class TTSModel:
         at short positions (windowed attention buckets are re-derived), but
         each newly reached window bucket is one compile."""
         cfg = load_variant(variant)
+        # device->host wire format: "int16" (exact) or "mulaw" (half the
+        # fetch bytes at ~37 dB SNR; see ops/mulaw.py).  Kwarg wins over the
+        # POCKET_TTS_TRANSPORT env var; config default otherwise.
+        transport = transport_format or os.environ.get("POCKET_TTS_TRANSPORT")
+        if transport is not None:
+            cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
+                cfg.runtime, transport_format=transport))
         if voice_prompt_chunk_frames is not None:
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
                 cfg.runtime,
@@ -585,14 +593,14 @@ class _SegmentRun:
             self.done = True
             if n_valid == 0:
                 return None
-            out = (np.asarray(audio)[0, : n_valid * self.model.frame_size]
-                   .astype(np.float32) / 32767.0)
+            out = self.model.engine.wire_to_float(
+                np.asarray(audio)[0, : n_valid * self.model.frame_size])
             self.total_samples += out.size
             return out
         k, audio, is_eos = self.pending.pop(0)
         audio, eos_np = jax.device_get((audio, is_eos))
-        # device ships int16 PCM; the public API stays float32 in [-1, 1]
-        audio = np.asarray(audio)[0].astype(np.float32) / 32767.0
+        # device ships int16 PCM (or mu-law); public API stays float32
+        audio = self.model.engine.wire_to_float(np.asarray(audio)[0])
         eos_np = np.asarray(eos_np)[0]
         if self.eos_step is None:
             hits = np.nonzero(eos_np)[0]
