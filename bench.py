@@ -208,6 +208,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"int8 bench failed: {e}", file=sys.stderr)
 
+    # mu-law wire format (opt-in transport_format="mulaw"): halves the
+    # device->host fetch bytes on a ~30 ms + ~31 ms/MB path at ~37 dB SNR.
+    # Reported as an extra key; the headline stays exact-int16.
+    try:
+        from pocket_tts_tpu import TTSModel as _T
+
+        mmodel = _T.load(eos_threshold=float("inf"), transport_format="mulaw")
+        _ = mmodel.generate(TEXT)  # compile
+        mbest = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wav = mmodel.generate(TEXT)
+            mbest = max(mbest, wav.size / model.sample_rate
+                        / (time.perf_counter() - t0))
+        extra["mulaw_x"] = round(mbest, 1)
+        print(f"mulaw transport: {mbest:.1f}x realtime", file=sys.stderr)
+        del mmodel
+    except Exception as e:  # noqa: BLE001
+        print(f"mulaw bench failed: {e}", file=sys.stderr)
+
     # Tunnel weather moves in minutes-scale phases (docs/performance.md), so
     # a tight cluster of 5 early runs can all land in a slow phase.  Sample
     # again now — several minutes of batched/int8 phases later — and keep the
@@ -230,7 +250,7 @@ def main():
     print("=== serving summary ===", file=sys.stderr)
     for k in ("first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
               "batched_stream_p50_ms", "batched_stream_p90_ms", "int8_x",
-              "single_p50_late_x"):
+              "mulaw_x", "single_p50_late_x"):
         print(f"{k}: {extra.get(k, 'FAILED')}", file=sys.stderr)
 
     print(json.dumps({
