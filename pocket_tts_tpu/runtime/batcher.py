@@ -180,7 +180,8 @@ class ContinuousBatcher:
                        "requests_completed": 0, "requests_submitted": 0,
                        "requests_cancelled": 0}
 
-    def warmup(self, vec_ceilings: tuple[int, ...] = (1, 2)) -> None:
+    def warmup(self, vec_ceilings: tuple[int, ...] = (1, 2),
+               parallel: int = 8) -> None:
         """Compile every decode variant the loop can dispatch — each (chunk
         size, window bucket) pair, both the default program and the
         per-slot-vec program at the given lsd step ceilings, plus the
@@ -194,14 +195,22 @@ class ContinuousBatcher:
         ``vec_ceilings``: power-of-two lsd ceilings to pre-compile for the
         vec path (requests overriding lsd_decode_steps/noise_clamp); (1, 2)
         covers clamp-only overrides and lsd_steps=2.  Higher overrides
-        compile on first use."""
+        compile on first use.
+
+        ``parallel``: jit compilation releases the GIL during the (remote)
+        compile, so the ~50-variant matrix compiles from a thread pool —
+        serial warmup walls were 5-30 min on the tunneled backend, gated on
+        one compile/load round-trip at a time.  Each variant uses its own
+        throwaway state, so tasks are independent; set 1 to restore the
+        serial order."""
         engine = self.engine
         gen = self.model.gen
         key = jax.random.PRNGKey(0)
         state = engine.new_state(self.batch)
         # fused admission program (admit+prefill), one variant per text
         # bucket: otherwise created lazily at the first real admission, on
-        # the decode thread
+        # the decode thread.  Chained state -> stays serial (and fast: the
+        # program is small).
         vs = self.model.get_voice_state().as_dict()
         for width in tuple(getattr(engine._rcfg, "text_buckets", (8,))):
             row = jax.device_put(np.ones((1, width), np.int32))
@@ -211,23 +220,29 @@ class ContinuousBatcher:
         windows = tuple(getattr(engine._rcfg, "window_buckets", ())) + (0,)
         temps = np.full((self.batch,), gen.temp, np.float32)
         eos_th = np.full((self.batch,), gen.eos_threshold, np.float32)
-        audio = None
-        for k in chunks:
-            for w in windows:
-                # fresh state per variant: positions stay at 0 so every
-                # window capacity is valid regardless of iteration order
-                st = engine.new_state(self.batch)
-                st, _, audio, _ = engine.decode_frames(
-                    st, key, k, gen, temps=temps, eos_thresholds=eos_th,
-                    window=w)
-                for ceil in vec_ceilings:
-                    st2 = engine.new_state(self.batch)
-                    st2, _, audio, _ = engine.decode_frames(
-                        st2, key, k, gen, temps=temps, eos_thresholds=eos_th,
-                        window=w,
-                        lsd_vec=np.full((self.batch,), ceil, np.int32),
-                        clamp_vec=np.full((self.batch,), -1.0, np.float32))
-        if audio is not None:
+
+        def variant(k, w, ceil):
+            # fresh state per variant: positions stay at 0 so every window
+            # capacity is valid regardless of completion order
+            st = engine.new_state(self.batch)
+            vec = ({} if ceil is None else
+                   {"lsd_vec": np.full((self.batch,), ceil, np.int32),
+                    "clamp_vec": np.full((self.batch,), -1.0, np.float32)})
+            _, _, audio, _ = engine.decode_frames(
+                st, key, k, gen, temps=temps, eos_thresholds=eos_th,
+                window=w, **vec)
+            return audio
+
+        tasks = [(k, w, c) for k in chunks for w in windows
+                 for c in (None, *vec_ceilings)]
+        if parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallel) as pool:
+                audios = list(pool.map(lambda t: variant(*t), tasks))
+        else:
+            audios = [variant(*t) for t in tasks]
+        for audio in audios:
             jax.device_get(audio)  # block_until_ready is unreliable on axon
 
     def idle(self) -> bool:
