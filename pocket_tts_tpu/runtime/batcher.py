@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import queue
 import threading
 from typing import Iterator
@@ -181,7 +182,7 @@ class ContinuousBatcher:
                        "requests_cancelled": 0}
 
     def warmup(self, vec_ceilings: tuple[int, ...] = (1, 2),
-               parallel: int = 8) -> None:
+               parallel: int | None = None) -> None:
         """Compile every decode variant the loop can dispatch — each (chunk
         size, window bucket) pair, both the default program and the
         per-slot-vec program at the given lsd step ceilings, plus the
@@ -198,11 +199,17 @@ class ContinuousBatcher:
         compile on first use.
 
         ``parallel``: jit compilation releases the GIL during the (remote)
-        compile, so the ~50-variant matrix compiles from a thread pool —
+        compile, so the ~50-variant matrix CAN compile from a thread pool —
         serial warmup walls were 5-30 min on the tunneled backend, gated on
         one compile/load round-trip at a time.  Each variant uses its own
-        throwaway state, so tasks are independent; set 1 to restore the
-        serial order."""
+        throwaway state, so tasks are independent.  Default is SERIAL
+        (None -> POCKET_TTS_WARMUP_PARALLEL env or 1): an 8-way warmup
+        coincided with a full axon-tunnel wedge (even jax.devices() hung
+        afterwards) and could not be exonerated before the tunnel outage —
+        opt in explicitly on backends whose compile service is known to
+        handle concurrency."""
+        if parallel is None:
+            parallel = int(os.environ.get("POCKET_TTS_WARMUP_PARALLEL", "1"))
         engine = self.engine
         gen = self.model.gen
         key = jax.random.PRNGKey(0)
