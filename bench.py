@@ -208,6 +208,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"int8 bench failed: {e}", file=sys.stderr)
 
+    # fp8 KV cache (opt-in kv_dtype="float8_e4m3"): halves decode-attention
+    # HBM reads — the largest while-body block by trace (35%, docs/
+    # performance.md).  Extra key only; the headline stays full-precision.
+    try:
+        from pocket_tts_tpu import TTSModel as _T8
+
+        kmodel = _T8.load(eos_threshold=float("inf"), kv_dtype="float8_e4m3")
+        _ = kmodel.generate(TEXT)  # compile
+        kbest = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wav = kmodel.generate(TEXT)
+            kbest = max(kbest, wav.size / model.sample_rate
+                        / (time.perf_counter() - t0))
+        extra["kv_fp8_x"] = round(kbest, 1)
+        print(f"fp8 KV cache: {kbest:.1f}x realtime", file=sys.stderr)
+        del kmodel
+    except Exception as e:  # noqa: BLE001
+        print(f"fp8 KV bench failed: {e}", file=sys.stderr)
+
     # mu-law wire format (opt-in transport_format="mulaw"): halves the
     # device->host fetch bytes on a ~30 ms + ~31 ms/MB path at ~37 dB SNR.
     # Reported as an extra key; the headline stays exact-int16.
@@ -250,7 +270,7 @@ def main():
     print("=== serving summary ===", file=sys.stderr)
     for k in ("first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
               "batched_stream_p50_ms", "batched_stream_p90_ms", "int8_x",
-              "mulaw_x", "single_p50_late_x"):
+              "kv_fp8_x", "mulaw_x", "single_p50_late_x"):
         print(f"{k}: {extra.get(k, 'FAILED')}", file=sys.stderr)
 
     print(json.dumps({

@@ -197,6 +197,15 @@ class RuntimeConfig:
     # on a transport whose cost is ~30 ms + ~31 ms/MB, at ~37 dB SNR —
     # opt-in for throughput-bound tunneled deployments.
     transport_format: str = "int16"
+    # Storage dtype of the FlowLM dense KV cache ("auto" = compute dtype).
+    # "float8_e4m3" halves decode-attention HBM reads — the single largest
+    # block of the AR while-body (35% by trace, docs/performance.md) — by
+    # storing K/V at 8 bits; the convert back to the compute dtype fuses
+    # into the attention matmuls' operand reads exactly like the int8
+    # weight path (ops/qtensor.py).  Opt-in: quantizes the whole attention
+    # history (prefill included), so audio drifts from the full-precision
+    # trajectory — evaluate quality before production use.
+    kv_dtype: str = "auto"
 
     def __post_init__(self):
         # a typo like "fused"/"Auto" would otherwise silently degrade to the
@@ -213,6 +222,11 @@ class RuntimeConfig:
             raise ValueError(
                 f"runtime.transport_format must be 'int16' or 'mulaw', "
                 f"got {self.transport_format!r}")
+        if self.kv_dtype not in ("auto", "bfloat16", "float32",
+                                 "float8_e4m3", "float8_e5m2"):
+            raise ValueError(
+                f"runtime.kv_dtype must be 'auto', 'bfloat16', 'float32', "
+                f"'float8_e4m3' or 'float8_e5m2', got {self.kv_dtype!r}")
 
 
 @dataclasses.dataclass(frozen=True)

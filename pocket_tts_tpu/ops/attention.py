@@ -28,6 +28,16 @@ _NEG = -1e30
 def _sdpa(q, k, v, mask):
     """q [B,T,H,D], k/v [B,S,H,D] or [B,H,S,D]=False; mask [B,1,T,S] or [1,1,T,S] bool."""
     d = q.shape[-1]
+    # K/V may be stored narrower than the compute dtype (fp8 KV cache,
+    # RuntimeConfig.kv_dtype): widen to q's dtype so the matmuls run at
+    # compute precision and — crucially — probs are NEVER cast down to the
+    # storage dtype.  The convert fuses into the dot's operand read, so HBM
+    # traffic stays at the storage width (same mechanism as int8 weights,
+    # ops/qtensor.py).
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale

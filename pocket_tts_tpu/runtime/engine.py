@@ -131,6 +131,12 @@ class Engine:
         if dt == "auto":
             dt = "bfloat16" if jax.default_backend() != "cpu" else "float32"
         self.dtype = jnp.dtype(dt)
+        kdt = getattr(rcfg, "kv_dtype", "auto")
+        if kdt == "auto":
+            kdt = dt
+        # fn variants: finite-only e4m3 (the non-fn e4m3 is not an XLA dtype)
+        self.kv_dtype = {"float8_e4m3": jnp.float8_e4m3fn,
+                         "float8_e5m2": jnp.float8_e5m2}.get(kdt, jnp.dtype(kdt))
         up = getattr(rcfg, "use_pallas", "auto")
         self._use_pallas = (jax.default_backend() == "tpu") if up == "auto"             else up in ("1", "true", True)
         self.params = jax.jit(_cast_params, static_argnames=("dtype",)
@@ -167,7 +173,7 @@ class Engine:
         tcfg = self._tcfg
         kc, vc = transformer.init_cache(
             tcfg.num_layers, batch, self._rcfg.max_seq, tcfg.num_heads,
-            tcfg.head_dim, self.dtype,
+            tcfg.head_dim, self.kv_dtype,
         )
         return {
             "kc": kc,

@@ -102,6 +102,7 @@ class TTSModel:
         voice_prompt_chunk_frames: int | None = None,
         max_seq: int | None = None,
         transport_format: str | None = None,
+        kv_dtype: str | None = None,
     ) -> "TTSModel":
         """``voice_prompt_chunk_frames`` overrides the streaming voice-encode
         chunk size (the reference's load-time knob, tts_model.rs:59/:562-577);
@@ -122,6 +123,13 @@ class TTSModel:
         if transport is not None:
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
                 cfg.runtime, transport_format=transport))
+        # FlowLM KV-cache storage dtype: "float8_e4m3" halves decode-attention
+        # HBM reads (opt-in; audio drifts from the full-precision trajectory —
+        # see RuntimeConfig.kv_dtype).  Kwarg wins over POCKET_TTS_KV_DTYPE.
+        kvd = kv_dtype or os.environ.get("POCKET_TTS_KV_DTYPE")
+        if kvd is not None:
+            cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
+                cfg.runtime, kv_dtype=kvd))
         if voice_prompt_chunk_frames is not None:
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
                 cfg.runtime,

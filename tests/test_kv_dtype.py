@@ -1,0 +1,100 @@
+"""fp8 KV cache (RuntimeConfig.kv_dtype): storage-dtype plumbing + quality.
+
+The FlowLM dense cache may be stored at 8 bits (float8_e4m3fn) to halve
+decode-attention HBM reads — the largest while-body block by trace
+(docs/performance.md).  These tests pin:
+
+* the knob reaches the engine state (cache leaves really are fp8);
+* attention over an fp8 cache stays within fp8's representational error of
+  the full-precision result (unit level);
+* end-to-end audio stays close to the full-precision trajectory at temp=0
+  (the AR feedback loop amplifies per-step error, so this is the bound that
+  matters for serving).
+
+Reference parity note: the reference has no KV-cache quantization (its int8
+path is weight-only and simulated, crates/pocket-tts/src/quantize.rs:1-10);
+this is a TPU-native extension, default OFF.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pocket_tts_tpu import weights
+from pocket_tts_tpu.config import RuntimeConfig
+from pocket_tts_tpu.models.mimi import MimiPlans
+from pocket_tts_tpu.ops.attention import cache_write, causal_cache_attention
+from pocket_tts_tpu.runtime.engine import GenParams
+from pocket_tts_tpu.tts import TTSModel
+from tests.test_tts import CFG
+
+TEXT = "Hello there, this is a float eight cache test with some length."
+
+
+def _model(kv_dtype=None):
+    cfg = CFG
+    if kv_dtype is not None:
+        cfg = dataclasses.replace(
+            CFG, runtime=dataclasses.replace(CFG.runtime, kv_dtype=kv_dtype))
+    plans = MimiPlans(cfg.mimi)
+    params = weights.random_params(cfg, plans, seed=3)
+    return TTSModel(cfg, params, gen=GenParams(temp=0.0),
+                    has_real_weights=False)
+
+
+def test_kv_dtype_reaches_state():
+    m = _model("float8_e4m3")
+    st = m.engine.new_state()
+    assert st["kc"].dtype == jnp.float8_e4m3fn
+    assert st["vc"].dtype == jnp.float8_e4m3fn
+    # default stays at the compute dtype (f32 on CPU)
+    m0 = _model()
+    assert m0.engine.new_state()["kc"].dtype == m0.engine.dtype
+
+
+def test_kv_dtype_validated():
+    with pytest.raises(ValueError, match="kv_dtype"):
+        RuntimeConfig(kv_dtype="int8")
+
+
+def test_sdpa_fp8_cache_error_bounded():
+    """Attention over an fp8-stored cache ~= attention over the f32 cache.
+
+    e4m3 carries a 3-bit mantissa (relative step 2^-3 at worst, 2^-4 RMS);
+    softmax averaging shrinks it further.  Bound the output at 5% of its own
+    scale — loose enough for any backend's rounding, tight enough to catch a
+    probs-cast-to-fp8 regression (which produces ~40% error)."""
+    key = jax.random.PRNGKey(0)
+    b, t, h, d, s = 2, 1, 4, 32, 64
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, t, h, d), jnp.float32)
+    k_new = jax.random.normal(kk, (b, s, h, d), jnp.float32)
+    v_new = jax.random.normal(kv, (b, s, h, d), jnp.float32)
+    pos = jnp.full((b,), s - 1, jnp.int32)
+
+    def run(dtype):
+        kc = cache_write(jnp.zeros((b, s, h, d), dtype), k_new,
+                         jnp.zeros((b,), jnp.int32))
+        vc = cache_write(jnp.zeros((b, s, h, d), dtype), v_new,
+                         jnp.zeros((b,), jnp.int32))
+        return np.asarray(causal_cache_attention(q, kc, vc, pos))
+
+    ref = run(jnp.float32)
+    got = run(jnp.float8_e4m3fn)
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 0.05, f"fp8 cache attention error {err:.3f}"
+
+
+def test_kv_fp8_audio_close_to_full_precision():
+    a0 = np.asarray(_model().generate(TEXT))
+    a8 = np.asarray(_model("float8_e4m3").generate(TEXT))
+    # fp8 shifts the AR trajectory slightly; EOS may move by a frame
+    assert abs(len(a0) - len(a8)) <= 2 * 1920
+    n = min(len(a0), len(a8))
+    corr = np.corrcoef(a0[:n], a8[:n])[0, 1]
+    assert corr > 0.99, f"fp8 KV audio corr {corr}"
+    assert np.isfinite(a8).all() and a8.std() > 0
