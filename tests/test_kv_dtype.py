@@ -89,6 +89,48 @@ def test_sdpa_fp8_cache_error_bounded():
     assert err < 0.05, f"fp8 cache attention error {err:.3f}"
 
 
+def test_kv_fp8_flagship_drift_bounded():
+    """Production-dims quality envelope (slow, ~3 min CPU: two flagship
+    engines).  Measured at head: latent corr 0.989, audio corr 0.99998,
+    max 20 LSB over 32 AR frames — the AR loop amplifies fp8 rounding well
+    beyond the small-config numbers, so this is the bound that gates any
+    change to the quantized write/read path."""
+    from pocket_tts_tpu.config import load_variant
+    from pocket_tts_tpu.runtime.engine import Engine
+
+    cfg = load_variant("b6369a24")
+    rt = dataclasses.replace(
+        cfg.runtime, max_seq=1024, text_buckets=(8,), prompt_buckets=(64,),
+        decode_chunks=(8,), compute_dtype="float32")
+    cfg0 = dataclasses.replace(cfg, runtime=rt)
+    cfg8 = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(rt, kv_dtype="float8_e4m3"))
+    plans = MimiPlans(cfg0.mimi)
+    params = weights.random_params(cfg0, plans, seed=11)
+    toks = np.array([[11, 402, 1777, 9, 3055, 42]], np.int32)
+    gen = GenParams(temp=0.0)
+
+    def run(cfg):
+        e = Engine(cfg, params, batch_size=1)
+        st = e.prefill_tokens(e.new_state(1), toks, toks.shape[1])
+        lat, aud = [], []
+        k = jax.random.PRNGKey(0)
+        for _ in range(4):
+            st, k, pcm, _ = e.decode_frames(st, k, 8, gen)
+            lat.append(np.asarray(jax.device_get(st["latent"])))
+            aud.append(np.asarray(jax.device_get(pcm)))
+        return np.stack(lat, 1)[0], np.concatenate(aud, -1)[0]
+
+    l0, a0 = run(cfg0)
+    l8, a8 = run(cfg8)
+    corr = np.corrcoef(l0.ravel(), l8.ravel())[0, 1]
+    assert corr > 0.9, f"flagship fp8 latent corr {corr}"
+    acorr = np.corrcoef(a0.astype(np.float32), a8.astype(np.float32))[0, 1]
+    assert acorr > 0.999, f"flagship fp8 audio corr {acorr}"
+    lsb = np.abs(a0.astype(np.int32) - a8.astype(np.int32)).max()
+    assert lsb <= 80, f"flagship fp8 audio drift {lsb} LSB"  # 4x measured 20
+
+
 def test_kv_fp8_audio_close_to_full_precision():
     a0 = np.asarray(_model().generate(TEXT))
     a8 = np.asarray(_model("float8_e4m3").generate(TEXT))
