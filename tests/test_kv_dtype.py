@@ -89,6 +89,27 @@ def test_sdpa_fp8_cache_error_bounded():
     assert err < 0.05, f"fp8 cache attention error {err:.3f}"
 
 
+def test_kv_fp8_batched_equals_single_stream():
+    """The serving path must hold under fp8 too: slot admission casts the
+    voice snapshot to the cache dtype, per-slot cursors index an fp8 buffer,
+    and the batched decode program compiles with the narrow cache.  At temp=0
+    a batched request must reproduce the single-stream fp8 output exactly
+    (same program order at B=1 lane granularity — mirrors
+    test_batcher.test_batched_equals_single_stream)."""
+    from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
+
+    m = _model("float8_e4m3")
+    single = m.generate_with_pauses(TEXT)
+    b = ContinuousBatcher(m, batch_size=2, chunk_frames=4)
+    b.start()
+    try:
+        batched = b.generate(TEXT)
+    finally:
+        b.stop()
+    assert batched.shape == single.shape
+    np.testing.assert_allclose(batched, single, atol=1e-4)
+
+
 def test_kv_fp8_flagship_drift_bounded():
     """Production-dims quality envelope (slow, ~3 min CPU: two flagship
     engines).  Measured at head: latent corr 0.989, audio corr 0.99998,
