@@ -41,7 +41,44 @@ TEXT = (
 )
 
 
+def wait_for_backend(timeout_s: float = 600.0):
+    """Fail fast (and loudly) if the device backend is unreachable.
+
+    The axon tunnel has wedged pool-side before: even ``jax.devices()`` then
+    blocks forever, which would hang the whole bench with no diagnostic.
+    Probe device discovery from a daemon thread; if it doesn't come back
+    within ``timeout_s``, print a diagnostic and exit nonzero so the driver
+    records a clean infrastructure failure instead of a timeout with empty
+    output."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            result["error"] = e
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in result:
+        return
+    if "error" in result:
+        print(f"device backend init failed: {result['error']!r}", file=sys.stderr)
+    else:
+        print(f"device backend unreachable: jax.devices() still blocked after "
+              f"{timeout_s:.0f}s (tunnel outage?) — aborting bench",
+              file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
+    wait_for_backend()
+
     import jax
 
     from pocket_tts_tpu import TTSModel
