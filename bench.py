@@ -245,45 +245,29 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"int8 bench failed: {e}", file=sys.stderr)
 
-    # fp8 KV cache (opt-in kv_dtype="float8_e4m3"): halves decode-attention
-    # HBM reads — the largest while-body block by trace (35%, docs/
-    # performance.md).  Extra key only; the headline stays full-precision.
-    try:
-        from pocket_tts_tpu import TTSModel as _T8
+    # Opt-in variant legs, each a fresh load + compile run + best-of-3
+    # (extra keys only; the headline stays full-precision exact-int16):
+    # * kv_fp8_x — fp8 KV cache: halves decode-attention HBM reads, the
+    #   largest while-body block by trace (35%, docs/performance.md);
+    # * mulaw_x — G.711 wire format: halves the device->host fetch bytes on
+    #   a ~30 ms + ~31 ms/MB path at ~37 dB SNR.
+    def variant_leg(key, label, **load_kwargs):
+        try:
+            vmodel = TTSModel.load(eos_threshold=float("inf"), **load_kwargs)
+            _ = vmodel.generate(TEXT)  # compile
+            vbest = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                wav = vmodel.generate(TEXT)
+                vbest = max(vbest, wav.size / model.sample_rate
+                            / (time.perf_counter() - t0))
+            extra[key] = round(vbest, 1)
+            print(f"{label}: {vbest:.1f}x realtime", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label} bench failed: {e}", file=sys.stderr)
 
-        kmodel = _T8.load(eos_threshold=float("inf"), kv_dtype="float8_e4m3")
-        _ = kmodel.generate(TEXT)  # compile
-        kbest = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            wav = kmodel.generate(TEXT)
-            kbest = max(kbest, wav.size / model.sample_rate
-                        / (time.perf_counter() - t0))
-        extra["kv_fp8_x"] = round(kbest, 1)
-        print(f"fp8 KV cache: {kbest:.1f}x realtime", file=sys.stderr)
-        del kmodel
-    except Exception as e:  # noqa: BLE001
-        print(f"fp8 KV bench failed: {e}", file=sys.stderr)
-
-    # mu-law wire format (opt-in transport_format="mulaw"): halves the
-    # device->host fetch bytes on a ~30 ms + ~31 ms/MB path at ~37 dB SNR.
-    # Reported as an extra key; the headline stays exact-int16.
-    try:
-        from pocket_tts_tpu import TTSModel as _T
-
-        mmodel = _T.load(eos_threshold=float("inf"), transport_format="mulaw")
-        _ = mmodel.generate(TEXT)  # compile
-        mbest = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            wav = mmodel.generate(TEXT)
-            mbest = max(mbest, wav.size / model.sample_rate
-                        / (time.perf_counter() - t0))
-        extra["mulaw_x"] = round(mbest, 1)
-        print(f"mulaw transport: {mbest:.1f}x realtime", file=sys.stderr)
-        del mmodel
-    except Exception as e:  # noqa: BLE001
-        print(f"mulaw bench failed: {e}", file=sys.stderr)
+    variant_leg("kv_fp8_x", "fp8 KV cache", kv_dtype="float8_e4m3")
+    variant_leg("mulaw_x", "mulaw transport", transport_format="mulaw")
 
     # Tunnel weather moves in minutes-scale phases (docs/performance.md), so
     # a tight cluster of 5 early runs can all land in a slow phase.  Sample

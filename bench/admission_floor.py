@@ -61,16 +61,6 @@ def main():
     toks = np.arange(1, 8, dtype=np.int32)[None]
     state = eng.new_state(NB)
 
-    def wall(fn, reps=8):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            jax.device_get(jax.tree_util.tree_leaves(out)[0])
-            ts.append((time.perf_counter() - t0) * 1000)
-        ts.sort()
-        return ts[len(ts) // 2]
-
     row = eng.pad_token_row(toks)
     state = eng.admit_prefill_slot(state, 0, voice, row, toks.shape[1])
 

@@ -14,6 +14,7 @@ Output: a table on stderr + the trace dir for manual Perfetto inspection.
 import glob
 import gzip
 import json
+import os
 import sys
 import time
 
@@ -25,7 +26,9 @@ def summarize(trace_dir: str, frames: int):
     if not paths:
         print("no trace file found under", trace_dir, file=sys.stderr)
         return
-    path = max(paths, key=lambda p: len(p))
+    # newest capture wins: the profiler writes a fresh timestamped subdir per
+    # run under the same trace_dir, and path LENGTH is unrelated to recency
+    path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
     events = [e for e in trace.get("traceEvents", [])

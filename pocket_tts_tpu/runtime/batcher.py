@@ -538,7 +538,9 @@ class ContinuousBatcher:
                     break
                 continue
 
-            k, depth, ramping = self._chunk_policy(active, len(waiting))
+            k, depth, ramping = self._chunk_policy(
+                active, len(waiting),
+                sum(1 for s in waiting if s.ramp))
             # window must cover the DISPATCHED frontier, not the routed one —
             # with pipelining frames_done lags by up to depth chunks, and a
             # too-small window would clamp KV writes onto the window edge
@@ -652,7 +654,7 @@ class ContinuousBatcher:
             first_audio_pending = any(
                 s.frames_done == 0 and s.segment.ramp for s in active)
             return self.warm_chunk, (0 if first_audio_pending else 1), True
-        if n_waiting and not saturated:
+        if n_ramp_waiting and not saturated:
             return min(self.press_chunk, self.chunk), 1, False
         if streamy and not saturated:
             return min(self.serve_chunk, self.chunk), 1, False

@@ -460,10 +460,16 @@ def test_chunk_policy_matrix(model):
     # backlog at exactly batch width is NOT saturated
     assert b._chunk_policy([slot(True, True, 0)], 4) == (8, 0, True)
 
-    # arrival pressure (waiting streamer, occupancy full, not saturated):
-    # pressure chunk at depth 1 even though the resident slot is mature
-    assert b._chunk_policy([slot(True, True, 64)], 1) == (16, 1, False)
-    assert b._chunk_policy([slot(False, False, 64)], 1) == (16, 1, False)
+    # arrival pressure (waiting STREAMING-FIRST segment, occupancy full, not
+    # saturated): pressure chunk at depth 1 even though the resident slot is
+    # mature — regardless of what the resident slot is
+    assert b._chunk_policy([slot(True, True, 64)], 1, 1) == (16, 1, False)
+    assert b._chunk_policy([slot(False, False, 64)], 1, 1) == (16, 1, False)
+    # whole-WAV backlog does NOT trigger pressure (review finding r4): a
+    # generate() drain with waiting non-ramp segments keeps full throughput
+    assert b._chunk_policy([slot(False, False, 64)], 3, 0) == (64, 2, False)
+    # ...and a streaming resident still gets the serve chunk, not pressure
+    assert b._chunk_policy([slot(True, True, 64)], 3, 0) == (32, 1, False)
 
 
 def test_fused_admission_equals_admit_plus_prefill(model):

@@ -102,11 +102,12 @@ def test_flagship_dims_sharded_equals_single_device(tp):
 
 def test_dp_sharded_batched_admission():
     """The serving tier's admission path over the dp axis (VERDICT r3 #3):
-    admit_slot (dynamic_update_slice into the dp-sharded batch) -> per-slot
-    vector-n_valid prefill -> decode must match the identical single-device
+    the FUSED admit_prefill_slot program (voice install via
+    dynamic_update_slice into the dp-sharded batch + B=1 lane slice-out text
+    prefill + write-back) -> decode must match the identical single-device
     program slot for slot.  Two admitted "requests" with different voice
-    snapshots AND different text occupy slots 0-1; slots 2-3 stay idle
-    (n_valid 0), as in the ContinuousBatcher."""
+    snapshots AND different text occupy slots 0-1; slots 2-3 stay idle, as in
+    the ContinuousBatcher (which admits exclusively through this program)."""
     import __graft_entry__ as ge
     from pocket_tts_tpu.parallel.mesh import make_mesh, shard_params, shard_state
     from pocket_tts_tpu.runtime.engine import Engine, GenParams
@@ -131,7 +132,6 @@ def test_dp_sharded_batched_admission():
     text = np.zeros((B, 6), np.int32)
     text[0] = np.arange(10, 16)
     text[1, :4] = np.arange(20, 24)
-    n_valid = np.array([6, 4, 0, 0], np.int32)
 
     def run(mesh):
         engine = Engine(cfg, params, batch_size=B, mesh=mesh)
@@ -141,9 +141,14 @@ def test_dp_sharded_batched_admission():
             if mesh is not None:
                 engine.params = shard_params(engine.params, mesh)
                 state = shard_state(state, mesh)
-            state = engine.admit_slot(state, 0, vs_a)
-            state = engine.admit_slot(state, 1, vs_b)
-            state = engine.prefill_tokens(state, text, n_valid)
+            # the FUSED admission program — the one the ContinuousBatcher
+            # actually dispatches (admit_prefill_slot: voice install + B=1
+            # lane prefill in one program, review finding r4) — must compile
+            # and match under the dp-sharded batch axis
+            state = engine.admit_prefill_slot(
+                state, 0, vs_a, engine.pad_token_row(text[0:1, :6]), 6)
+            state = engine.admit_prefill_slot(
+                state, 1, vs_b, engine.pad_token_row(text[1:2, :4]), 4)
             state, _, audio, _ = engine.decode_frames(
                 state, key, 2, GenParams(temp=0.5))
             return np.asarray(jax.device_get(audio))
