@@ -251,9 +251,11 @@ def main():
     #   largest while-body block by trace (35%, docs/performance.md);
     # * mulaw_x — G.711 wire format: halves the device->host fetch bytes on
     #   a ~30 ms + ~31 ms/MB path at ~37 dB SNR.
-    def variant_leg(key, label, **load_kwargs):
+    def variant_leg(key, label, transform=None, **load_kwargs):
         try:
             vmodel = TTSModel.load(eos_threshold=float("inf"), **load_kwargs)
+            if transform is not None:
+                vmodel = transform(vmodel)
             _ = vmodel.generate(TEXT)  # compile
             vbest = 0.0
             for _ in range(3):
@@ -268,6 +270,14 @@ def main():
 
     variant_leg("kv_fp8_x", "fp8 KV cache", kv_dtype="float8_e4m3")
     variant_leg("mulaw_x", "mulaw transport", transport_format="mulaw")
+    # the max-bandwidth-savings combo: int8 weights AND fp8 KV — every large
+    # HBM stream of the AR step at 8 bits
+    try:
+        from pocket_tts_tpu.runtime.quantize import quantize_model as _qm
+        variant_leg("int8_fp8_x", "int8 weights + fp8 KV", transform=_qm,
+                    kv_dtype="float8_e4m3")
+    except Exception as e:  # noqa: BLE001
+        print(f"int8+fp8 bench failed: {e}", file=sys.stderr)
 
     # Tunnel weather moves in minutes-scale phases (docs/performance.md), so
     # a tight cluster of 5 early runs can all land in a slow phase.  Sample
@@ -291,7 +301,7 @@ def main():
     print("=== serving summary ===", file=sys.stderr)
     for k in ("first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
               "batched_stream_p50_ms", "batched_stream_p90_ms", "int8_x",
-              "kv_fp8_x", "mulaw_x", "single_p50_late_x"):
+              "kv_fp8_x", "mulaw_x", "int8_fp8_x", "single_p50_late_x"):
         print(f"{k}: {extra.get(k, 'FAILED')}", file=sys.stderr)
 
     print(json.dumps({

@@ -110,6 +110,27 @@ def test_kv_fp8_batched_equals_single_stream():
     np.testing.assert_allclose(batched, single, atol=1e-4)
 
 
+def test_kv_fp8_composes_with_int8_weights():
+    """int8 weights + fp8 KV (the max-bandwidth-savings combo, bench key
+    int8_fp8_x): quantize_model rebuilds its engine from model.config, so the
+    kv_dtype must survive the clone, and the combined quantization error must
+    still track the full-precision trajectory."""
+    import jax.numpy as jnp
+
+    from pocket_tts_tpu.runtime.quantize import quantize_model
+
+    base = _model()
+    combo = quantize_model(_model("float8_e4m3"))
+    assert combo.engine.new_state()["kc"].dtype == jnp.float8_e4m3fn
+    a0 = np.asarray(base.generate(TEXT))
+    ac = np.asarray(combo.generate(TEXT))
+    assert abs(len(a0) - len(ac)) <= 2 * 1920
+    n = min(len(a0), len(ac))
+    corr = np.corrcoef(a0[:n], ac[:n])[0, 1]
+    assert corr > 0.97, f"int8+fp8 audio corr {corr}"
+    assert np.isfinite(ac).all() and ac.std() > 0
+
+
 def test_kv_fp8_flagship_drift_bounded():
     """Production-dims quality envelope (slow, ~3 min CPU: two flagship
     engines).  Measured at head: latent corr 0.989, audio corr 0.99998,
