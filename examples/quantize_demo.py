@@ -34,3 +34,11 @@ q4 = quantize_model(model, bits=4)
 snrs4 = snr_report(model.params, q4.params)
 print(f"int4: SNR min {min(snrs4.values()):.1f} dB mean "
       f"{sum(snrs4.values()) / len(snrs4):.1f} dB")
+
+# max-bandwidth combo: int8 weights AND an fp8 KV cache — every large HBM
+# stream of the AR decode step at 8 bits (kv_dtype is a load-time knob; the
+# quantize_model clone keeps it).  Listen before serving: both quantizations
+# shift the autoregressive trajectory slightly.
+combo = quantize_model(TTSModel.load(kv_dtype="float8_e4m3"))
+wav = combo.generate("Eight bit weights and an eight bit cache.")
+print(f"int8+fp8 generation: {wav.size / combo.sample_rate:.2f}s audio")
