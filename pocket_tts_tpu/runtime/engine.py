@@ -87,6 +87,17 @@ class GenParams:
                 f"lsd_decode_steps must be >= 1, got {self.lsd_decode_steps}")
         if not self.temp >= 0.0:  # also rejects NaN
             raise ValueError(f"temp must be >= 0, got {self.temp}")
+        if self.noise_clamp is not None:
+            if self.noise_clamp != self.noise_clamp:  # NaN
+                raise ValueError("noise_clamp must not be NaN")
+            # "< 0 = unclamped" is the repo-wide convention (the batched
+            # clamp_vec already encodes None as -1): normalize so the scalar
+            # path agrees instead of computing truncated_normal with an
+            # inverted [+1/std, -1/std] bound (constant garbage audio), and
+            # so with_params(noise_clamp=-1) can express "unclamp" (None is
+            # indistinguishable from "not overridden" there)
+            if self.noise_clamp < 0:
+                self.noise_clamp = None
 
 
 def _cast_params(params: dict, dtype) -> dict:

@@ -81,8 +81,12 @@ class TTSModel:
         # lazily built, shared across requests: voice states are immutable
         # (reset/prefill copy, never donate, their kc/vc inputs), and a
         # ~50 MB fresh cache per unconditioned request exhausted HBM under
-        # sustained serving load
-        self._empty_voice: VoiceState | None = None
+        # sustained serving load.  A mutable HOLDER (like _rng) so
+        # with_params()/quantize_model clones share ONE cached state — a
+        # per-clone attribute would re-allocate per request and re-open the
+        # exhaustion.  Safe to share across clones: the empty state is
+        # all-zero kc/vc + pos 0, independent of params/gen.
+        self._empty_voice: dict = {"vs": None}
 
     # -- loading -----------------------------------------------------------
 
@@ -116,16 +120,33 @@ class TTSModel:
         at short positions (windowed attention buckets are re-derived), but
         each newly reached window bucket is one compile."""
         cfg = load_variant(variant)
-        # device->host wire format: "int16" (exact) or "mulaw" (half the
-        # fetch bytes at ~37 dB SNR; see ops/mulaw.py).  Kwarg wins over the
-        # POCKET_TTS_TRANSPORT env var; config default otherwise.
+        cfg = cls._apply_config_overrides(
+            cfg, transport_format=transport_format, kv_dtype=kv_dtype,
+            voice_prompt_chunk_frames=voice_prompt_chunk_frames,
+            max_seq=max_seq)
+        plans = MimiPlans(cfg.mimi)
+        params, real = weights_mod.load_params(cfg, plans, variant=variant)
+        gen = GenParams(temp=temp, lsd_decode_steps=lsd_decode_steps,
+                        noise_clamp=noise_clamp, eos_threshold=eos_threshold)
+        return cls(cfg, params, gen=gen, has_real_weights=real, seed=seed)
+
+    @staticmethod
+    def _apply_config_overrides(cfg, *, transport_format=None, kv_dtype=None,
+                                voice_prompt_chunk_frames=None, max_seq=None):
+        """Runtime-config overrides shared by every loader entry point.
+
+        * ``transport_format`` — device->host wire format: "int16" (exact) or
+          "mulaw" (half the fetch bytes at ~37 dB SNR; ops/mulaw.py).  Kwarg
+          wins over the POCKET_TTS_TRANSPORT env var; config default otherwise.
+        * ``kv_dtype`` — FlowLM KV-cache storage dtype: "float8_e4m3" halves
+          decode-attention HBM reads (opt-in; see RuntimeConfig.kv_dtype).
+          Kwarg wins over POCKET_TTS_KV_DTYPE.
+        * ``voice_prompt_chunk_frames`` / ``max_seq`` — see load_with_params.
+        """
         transport = transport_format or os.environ.get("POCKET_TTS_TRANSPORT")
         if transport is not None:
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
                 cfg.runtime, transport_format=transport))
-        # FlowLM KV-cache storage dtype: "float8_e4m3" halves decode-attention
-        # HBM reads (opt-in; audio drifts from the full-precision trajectory —
-        # see RuntimeConfig.kv_dtype).  Kwarg wins over POCKET_TTS_KV_DTYPE.
         kvd = kv_dtype or os.environ.get("POCKET_TTS_KV_DTYPE")
         if kvd is not None:
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
@@ -140,11 +161,26 @@ class TTSModel:
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
                 cfg.runtime, max_seq=max_seq,
                 window_buckets=tuple(range(256, max_seq, 256))))
-        plans = MimiPlans(cfg.mimi)
-        params, real = weights_mod.load_params(cfg, plans, variant=variant)
-        gen = GenParams(temp=temp, lsd_decode_steps=lsd_decode_steps,
-                        noise_clamp=noise_clamp, eos_threshold=eos_threshold)
-        return cls(cfg, params, gen=gen, has_real_weights=real, seed=seed)
+        return cfg
+
+    _GEN_KEYS = ("temp", "lsd_decode_steps", "noise_clamp", "eos_threshold")
+    _CFG_KEYS = ("transport_format", "kv_dtype", "voice_prompt_chunk_frames",
+                 "max_seq")
+
+    @classmethod
+    def _parse_loader_kwargs(cls, cfg, kwargs):
+        """(cfg, gen, seed) for the **kwargs loaders (load_from_bytes /
+        load_quantized): the same GenParams + runtime overrides as
+        load_with_params, and unknown keys raise instead of being silently
+        dropped (a typo'd kwarg previously vanished; review finding r4)."""
+        kw = dict(kwargs)
+        gen = GenParams(**{k: kw.pop(k) for k in cls._GEN_KEYS if k in kw})
+        seed = kw.pop("seed", 0)
+        cfg = cls._apply_config_overrides(
+            cfg, **{k: kw.pop(k) for k in cls._CFG_KEYS if k in kw})
+        if kw:
+            raise TypeError(f"unknown load kwargs: {sorted(kw)}")
+        return cfg, gen, seed
 
     @classmethod
     def load_from_bytes(cls, weights_bytes: bytes,
@@ -152,16 +188,10 @@ class TTSModel:
         """Construct from in-memory safetensors bytes (the reference's WASM
         loader entry, tts_model.rs:239-276).  Genuinely in-memory: the bytes
         never touch the filesystem."""
-        from pocket_tts_tpu.models.mimi import MimiPlans
-
-        cfg = load_variant(variant)
+        cfg, gen, seed = cls._parse_loader_kwargs(load_variant(variant), kwargs)
         sd = weights_mod.load_safetensors_bytes(weights_bytes)
         params = weights_mod.convert_tts_state_dict(sd, cfg, MimiPlans(cfg.mimi))
-        gen = GenParams(**{k: v for k, v in kwargs.items()
-                           if k in ("temp", "lsd_decode_steps", "noise_clamp",
-                                    "eos_threshold")})
-        return cls(cfg, params, gen=gen, has_real_weights=True,
-                   seed=kwargs.get("seed", 0))
+        return cls(cfg, params, gen=gen, has_real_weights=True, seed=seed)
 
     @classmethod
     def load_quantized(cls, path: str | Path,
@@ -173,19 +203,20 @@ class TTSModel:
         are genuinely int8-in-HBM."""
         from pocket_tts_tpu.runtime.quantize import load_quantized
 
-        cfg = load_variant(variant)
+        cfg, gen, seed = cls._parse_loader_kwargs(load_variant(variant), kwargs)
         params = load_quantized(weights_mod.resolve_uri(path))
-        gen = GenParams(**{k: v for k, v in kwargs.items()
-                           if k in ("temp", "lsd_decode_steps", "noise_clamp",
-                                    "eos_threshold")})
-        model = cls(cfg, params, gen=gen, has_real_weights=True,
-                    seed=kwargs.get("seed", 0))
+        model = cls(cfg, params, gen=gen, has_real_weights=True, seed=seed)
         model.is_quantized = True
         return model
 
     def with_params(self, **overrides) -> "TTSModel":
         """Cheap per-request override clone (shares params/engine;
-        reference: handlers.rs:147-160)."""
+        reference: handlers.rs:147-160).
+
+        ``None`` means "not overridden" (the server passes absent JSON fields
+        as None), so it cannot express "unclamp noise" — pass
+        ``noise_clamp=-1`` for that (GenParams normalizes negatives to None,
+        matching the per-slot clamp_vec convention)."""
         clone = object.__new__(TTSModel)
         clone.__dict__.update(self.__dict__)
         clone.gen = dataclasses.replace(self.gen, **{
@@ -215,10 +246,11 @@ class TTSModel:
                     and str(source).endswith(".safetensors")):
                 return self.get_voice_state_from_prompt_file(source)
             return self.get_voice_state_from_wav(source, truncate=truncate)
-        if self._empty_voice is None:
+        if self._empty_voice["vs"] is None:
             st = self.engine.new_state()
-            self._empty_voice = VoiceState(st["kc"], st["vc"], st["pos"], 0)
-        return self._empty_voice
+            self._empty_voice["vs"] = VoiceState(st["kc"], st["vc"],
+                                                 st["pos"], 0)
+        return self._empty_voice["vs"]
 
     def get_voice_state_from_wav(self, path: str | Path | bytes,
                                  truncate: bool = False) -> VoiceState:

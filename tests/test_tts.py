@@ -460,7 +460,46 @@ def test_empty_voice_state_is_shared(model):
     a = model.get_voice_state()
     b = model.get_voice_state()
     assert a is b
+    # ...including across with_params clones (per-request clones are the
+    # server's normal path; a per-clone cache would re-open the exhaustion)
+    assert model.with_params(temp=0.5).get_voice_state() is a
     # repeated use of the shared snapshot must not corrupt it
     w1 = model.generate("Shared state check.", a)
     w2 = model.generate("Shared state check.", b)
     np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
+def test_negative_noise_clamp_means_unclamped():
+    """The scalar path must follow the repo-wide '< 0 = unclamped' convention
+    (review finding r4: a negative clamp previously inverted the truncated-
+    normal bounds and emitted constant garbage on the single-stream path
+    while the batched path treated it as unclamped)."""
+    import math
+
+    assert GenParams(noise_clamp=-1.0).noise_clamp is None
+    assert GenParams(noise_clamp=0.0).noise_clamp == 0.0  # explicit hard clamp
+    assert GenParams(noise_clamp=0.5).noise_clamp == 0.5
+    with pytest.raises(ValueError, match="NaN"):
+        GenParams(noise_clamp=math.nan)
+    # with_params: None = "not overridden", -1 = "unclamp"
+    plans = MimiPlans(CFG.mimi)
+    params = weights.random_params(CFG, plans, seed=3)
+    m = TTSModel(CFG, params, gen=GenParams(temp=0.7, noise_clamp=0.5),
+                 has_real_weights=False)
+    assert m.with_params(noise_clamp=None).gen.noise_clamp == 0.5
+    assert m.with_params(noise_clamp=-1).gen.noise_clamp is None
+
+
+def test_loader_kwargs_rejected_and_applied():
+    """load_from_bytes/load_quantized share load_with_params' override
+    parsing: runtime kwargs apply (previously silently dropped) and unknown
+    kwargs raise (previously swallowed — a typo'd knob vanished)."""
+    cfg, gen, seed = TTSModel._parse_loader_kwargs(
+        CFG,
+        {"temp": 0.1, "max_seq": 512, "kv_dtype": "float8_e4m3", "seed": 7})
+    assert gen.temp == 0.1 and seed == 7
+    assert cfg.runtime.max_seq == 512
+    assert cfg.runtime.window_buckets == (256,)
+    assert cfg.runtime.kv_dtype == "float8_e4m3"
+    with pytest.raises(TypeError, match="lsd_steps"):
+        TTSModel._parse_loader_kwargs(CFG, {"lsd_steps": 2})
