@@ -273,6 +273,8 @@ class ContinuousBatcher:
 
     def start(self) -> None:
         if self._thread is None:
+            self._stop.clear()
+            self._dead = False
             self._thread = threading.Thread(target=self._run, daemon=True,
                                             name="tts-batcher")
             self._thread.start()
@@ -282,6 +284,11 @@ class ContinuousBatcher:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        # a stopped batcher must fail open exactly like a crashed one: the
+        # loop's shutdown drain delivers whatever was in flight, but anything
+        # still unfinished would otherwise block its consumer for the full
+        # read timeout, and a later submit() would enqueue into a void
+        self._fail_open(RuntimeError("batcher stopped"))
 
     def submit(self, text: str, voice: VoiceState | None = None,
                gen: GenParams | None = None, *, pauses: bool = True,
@@ -351,6 +358,12 @@ class ContinuousBatcher:
                 seg.chunks = [np.zeros(seg.silence_samples, np.float32)]
                 seg.done = True
         with self._lock:
+            # re-check under the lock: the loop may have crashed (or stop()
+            # run) during tokenization/upload above — registering now would
+            # miss the fail-open sweep and strand the consumer for the full
+            # read timeout
+            if self._dead:
+                raise RuntimeError("batcher decode loop has crashed; restart it")
             self._active.add(req)
             self._stats["requests_submitted"] += 1
             req.pump()
@@ -405,19 +418,28 @@ class ContinuousBatcher:
                  gen: GenParams | None = None, *, pauses: bool = True) -> np.ndarray:
         out = self.submit(text, voice, gen, pauses=pauses,
                           latency_sensitive=False)
+        req = getattr(out, "_pocket_request", None)
         chunks = []
-        while True:
-            try:
-                item = out.get(timeout=300.0)
-            except queue.Empty:
-                raise TimeoutError(
-                    f"no audio chunk within 300s "
-                    f"(batcher stats: {self.stats()})") from None
-            if item is _SENTINEL:
-                break
-            if isinstance(item, Exception):
-                raise item
-            chunks.append(item)
+        try:
+            while True:
+                try:
+                    item = out.get(timeout=300.0)
+                except queue.Empty:
+                    raise TimeoutError(
+                        f"no audio chunk within 300s "
+                        f"(batcher stats: {self.stats()})") from None
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                chunks.append(item)
+        finally:
+            # same contract as stream(): an abandoned request (timeout or any
+            # other raise) must CANCEL — otherwise its remaining segments keep
+            # occupying slots, decode to completion, and pump chunks into a
+            # queue nobody reads
+            if req is not None and not req.finished:
+                self._cancel(req)
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
     # -- decode loop -----------------------------------------------------------
@@ -427,21 +449,25 @@ class ContinuousBatcher:
             self._run_inner()
         except Exception as e:  # noqa: BLE001
             logger.exception("batcher decode loop crashed")
-            # fail open: surface the error to EVERY unfinished request (queued,
-            # in-slot, or mid-stream) and refuse new submissions
-            self._dead = True
-            with self._lock:
-                while True:
-                    try:
-                        self._submit.get_nowait()
-                    except queue.Empty:
-                        break
-                for req in list(self._active):
+            self._fail_open(RuntimeError(f"batcher crashed: {e!r}"))
+
+    def _fail_open(self, error: Exception) -> None:
+        """Surface ``error`` to EVERY unfinished request (queued, in-slot, or
+        mid-stream) and refuse new submissions."""
+        self._dead = True
+        with self._lock:
+            while True:
+                try:
+                    self._submit.get_nowait()
+                except queue.Empty:
+                    break
+            for req in list(self._active):
+                if not req.finished:
                     req.failed = True
                     req.finished = True
-                    req.out.put(RuntimeError(f"batcher crashed: {e!r}"))
+                    req.out.put(error)
                     req.out.put(_SENTINEL)
-                self._active.clear()
+            self._active.clear()
 
     def _run_inner(self) -> None:
         engine = self.engine
@@ -639,13 +665,16 @@ class ContinuousBatcher:
           fetch still overlaps the executing chunk);
         * throughput chunk (64) + full depth for pure whole-WAV load.
 
-        Saturation guard: with more segments queued than slots, every
-        arrival waits out the backlog regardless — bounded first-chunk
-        latency is already lost, so stop paying the ramp's throughput tax
-        and drain at full chunk size (a sustained arrival storm would
-        otherwise pin the batch at warm chunks, ~0.48 vs 0.27 ms/slot-frame;
-        observed in a soak)."""
-        saturated = n_waiting > self.batch
+        Saturation guard: with more STREAMING-FIRST segments queued than
+        slots, every streaming arrival waits out the backlog regardless —
+        bounded first-chunk latency is already lost, so stop paying the
+        ramp's throughput tax and drain at full chunk size (a sustained
+        arrival storm would otherwise pin the batch at warm chunks, ~0.48 vs
+        0.27 ms/slot-frame; observed in a soak).  Counted over ramp waiters,
+        not the whole backlog: a deep whole-WAV queue is not an arrival
+        storm, and a streamer admitted into it via preemption still deserves
+        its (ramp_frames-bounded) warm ramp."""
+        saturated = n_ramp_waiting > self.batch
         ramping = (not saturated
                    and any(s.dispatched < self.ramp_frames and s.segment.ramp
                            for s in active))

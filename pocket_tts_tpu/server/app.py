@@ -43,15 +43,30 @@ class ServerState:
         self.batcher = batcher  # ContinuousBatcher: concurrent requests share
         # one resident decode loop instead of serializing behind self.lock
         self.lock = asyncio.Lock()
-        workers = 8 if batcher is not None else 1
+        # each in-flight stream OCCUPIES one worker for its whole duration
+        # (the producer runs in the pool), so the pool must cover every
+        # batcher slot plus headroom for voice resolution — 8 workers against
+        # a B=16 batcher stalled request 9 until a whole utterance finished
+        workers = (batcher.batch + 4) if batcher is not None else 1
         self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
         self.started_at = time.time()
 
     def resolve(self, spec: str | None):
+        """Resolve a voice spec to a VoiceState.
+
+        An EXPLICITLY requested voice that fails resolves to a client error
+        (VoiceResolutionError -> 400): silently substituting the
+        unconditioned state would return 200 with wrong-voice audio.  The
+        DEFAULT voice still falls back (offline servers can't fetch the
+        hf:// stock voices; the server must stay usable)."""
+        explicit = spec is not None and spec != self.default_voice
         spec = spec or self.default_voice
         try:
             return voices_mod.resolve_voice_cached(self.model, spec, self.cache)
         except Exception as e:  # noqa: BLE001
+            if explicit:
+                raise voices_mod.VoiceResolutionError(
+                    f"voice {spec!r} unresolvable: {e}") from e
             logger.warning("voice %r unresolvable (%s); using unconditioned state",
                            spec, e)
             return self.model.get_voice_state()
@@ -94,6 +109,35 @@ def create_app(state: ServerState):
         try:
             return state.model_with_overrides(body)
         except (ValueError, TypeError) as e:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": str(e)}),
+                content_type="application/json")
+
+    async def _json_body(request) -> dict:
+        """Malformed request bodies are a client error (400) — an unhandled
+        json.JSONDecodeError would 500, and the fleet router treats 5xx as
+        worker failure, so one bad client request could mark every worker
+        unhealthy (review finding r4)."""
+        try:
+            body = await request.json()
+        except Exception:  # noqa: BLE001 (json + unicode decode errors)
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "request body must be valid JSON"}),
+                content_type="application/json")
+        if not isinstance(body, dict):
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "request body must be a JSON object"}),
+                content_type="application/json")
+        return body
+
+    async def _resolve_voice(body: dict):
+        """Voice resolution off the event loop (it can run the Mimi encoder —
+        seconds of device work); an unresolvable EXPLICIT voice is a 400."""
+        loop = asyncio.get_running_loop()
+        try:
+            return await loop.run_in_executor(
+                state.pool, state.resolve, body.get("voice"))
+        except voices_mod.VoiceResolutionError as e:
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": str(e)}),
                 content_type="application/json")
@@ -149,10 +193,7 @@ def create_app(state: ServerState):
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
                                      content_type="application/json")
         loop = asyncio.get_running_loop()
-        # voice resolution can run the Mimi encoder (seconds of device work) —
-        # never on the event loop
-        voice = await loop.run_in_executor(
-            state.pool, state.resolve, body.get("voice"))
+        voice = await _resolve_voice(body)
         cont = _int_field(body, "continuation_frames")
         # Occupancy-adaptive routing: a lone request on an idle batched
         # server takes the single-stream engine (~10x faster per stream than
@@ -178,7 +219,7 @@ def create_app(state: ServerState):
 
     @routes.post("/generate")
     async def generate(request):
-        body = await request.json()
+        body = await _json_body(request)
         data = await _generate_wav(body)
         return web.Response(body=data, content_type="audio/wav")
 
@@ -199,9 +240,7 @@ def create_app(state: ServerState):
         # parse/validate before the response is prepared — after prepare()
         # the status line is sent and a 400 can no longer be raised
         cont = _int_field(body, "continuation_frames")
-        loop0 = asyncio.get_running_loop()
-        voice = await loop0.run_in_executor(state.pool, state.resolve,
-                                            body.get("voice"))
+        voice = await _resolve_voice(body)
 
         if wav_compat:
             import os
@@ -240,7 +279,11 @@ def create_app(state: ServerState):
                 try:
                     fut.result(timeout=0.5)
                     return True
-                except TimeoutError:
+                except concurrent.futures.TimeoutError:
+                    # NOT the builtin TimeoutError on Python 3.10 (they merge
+                    # in 3.11): catching the builtin let normal backpressure
+                    # fall into the except-Exception arm and silently
+                    # truncate the stream for a connected client
                     continue
                 except Exception:  # loop closing / cancelled
                     return False
@@ -284,6 +327,7 @@ def create_app(state: ServerState):
         held_size = 0
         if wav_compat:
             held.append(audio_io.wav_header(state.model.sample_rate))
+        stream_error: Exception | None = None
         async with ctx:
             task = loop.run_in_executor(state.pool, producer)
             try:
@@ -292,6 +336,7 @@ def create_app(state: ServerState):
                     if item is None:
                         break
                     if isinstance(item, Exception):
+                        stream_error = item
                         break
                     if held is not None and wav_compat:
                         held.append(item)
@@ -306,6 +351,15 @@ def create_app(state: ServerState):
                 while not queue.empty():  # drain so pending puts resolve
                     queue.get_nowait()
                 await task
+        if stream_error is not None:
+            # the 200 status line is already on the wire — ABORT the
+            # connection instead of terminating it cleanly, so the client
+            # can distinguish truncation from success (a clean EOF here
+            # previously made a mid-stream crash look like a complete
+            # response; review finding r4)
+            if request.transport is not None:
+                request.transport.close()
+            raise stream_error
         if wav_compat:
             if held is not None:  # short utterance never hit the threshold
                 await resp.write(b"".join(held))
@@ -315,7 +369,7 @@ def create_app(state: ServerState):
 
     @routes.post("/stream")
     async def stream(request):
-        body = await request.json()
+        body = await _json_body(request)
         return await _stream_audio(request, body)
 
     @routes.post("/tts")
@@ -346,7 +400,7 @@ def create_app(state: ServerState):
                     raw.encode() if isinstance(raw, str) else bytes(raw))
                 body["voice"] = b64.b64encode(raw).decode()
         else:
-            body = await request.json()
+            body = await _json_body(request)
         if str(body.get("compat", "")).lower() == "python":
             return await _stream_audio(request, body, wav_compat=True)
         data = await _generate_wav(body)
@@ -355,7 +409,7 @@ def create_app(state: ServerState):
     @routes.post("/v1/audio/speech")
     async def openai_speech(request):
         """OpenAI-compatible endpoint (handlers.rs:378-398): {model, input, voice}."""
-        body = await request.json()
+        body = await _json_body(request)
         data = await _generate_wav({
             "text": body.get("input"),
             "voice": body.get("voice"),

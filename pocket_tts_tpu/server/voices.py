@@ -30,6 +30,12 @@ _STOCK_REV = "d4fdd22ae8c8e1cb3634e150ebeff1dab2d16df3"
 DEFAULT_VOICE = "alba"
 
 
+class VoiceResolutionError(ValueError):
+    """An explicitly requested voice could not be resolved (HTTP 400 — the
+    server must not substitute the unconditioned state and return 200 with
+    wrong-voice audio)."""
+
+
 def stock_voice_uri(name: str) -> str:
     return f"hf://{_STOCK_REPO}/embeddings/{name}.safetensors@{_STOCK_REV}"
 
@@ -104,15 +110,24 @@ def _from_url(model: TTSModel, url: str) -> VoiceState:
     """Plain-URL voice (reference: voice.rs:171-222, oracle ``voice_url``).
 
     Download is gated on POCKET_TTS_ONLINE=1 (this machine has no egress;
-    an ungated fetch would hang for the full socket timeout) — except
-    loopback URLs, which a local test server or sidecar cache serves."""
+    an ungated fetch would hang for the full socket timeout).  Loopback URLs
+    have their OWN opt-in, POCKET_TTS_LOOPBACK_VOICES=1 (a local test server
+    or sidecar cache): an unconditional loopback exemption would hand every
+    unauthenticated client a blind-SSRF probe against localhost-only
+    services via the voice_url field (review finding r4)."""
     import os
     import urllib.parse
     import urllib.request
 
     host = urllib.parse.urlparse(url).hostname or ""
     local = host in ("localhost", "127.0.0.1", "::1")
-    if not local and os.environ.get("POCKET_TTS_ONLINE", "0") != "1":
+    if local:
+        if os.environ.get("POCKET_TTS_LOOPBACK_VOICES", "0") != "1":
+            raise ValueError(
+                f"loopback URL voice {url!r} is disabled; set "
+                f"POCKET_TTS_LOOPBACK_VOICES=1 to allow fetching from "
+                f"localhost services")
+    elif os.environ.get("POCKET_TTS_ONLINE", "0") != "1":
         raise ValueError(
             f"URL voice {url!r} needs network access; set POCKET_TTS_ONLINE=1")
     with urllib.request.urlopen(url, timeout=30) as resp:

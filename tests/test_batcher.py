@@ -455,10 +455,14 @@ def test_chunk_policy_matrix(model):
     assert b._chunk_policy([slot(True, True, 64)], 0) == (32, 1, False)
     # whole-WAV only -> throughput chunk, full depth
     assert b._chunk_policy([slot(False, False, 0)], 0) == (64, 2, False)
-    # saturation (backlog > batch): even a young ramp slot drains full-size
-    assert b._chunk_policy([slot(True, True, 0)], 5) == (64, 2, False)
-    # backlog at exactly batch width is NOT saturated
-    assert b._chunk_policy([slot(True, True, 0)], 4) == (8, 0, True)
+    # saturation (ramp waiters > batch: a streaming arrival STORM): even a
+    # young ramp slot drains full-size
+    assert b._chunk_policy([slot(True, True, 0)], 5, 5) == (64, 2, False)
+    # ramp backlog at exactly batch width is NOT saturated
+    assert b._chunk_policy([slot(True, True, 0)], 4, 4) == (8, 0, True)
+    # a deep whole-WAV backlog is NOT an arrival storm: a streamer admitted
+    # into it (via preemption) keeps its warm ramp
+    assert b._chunk_policy([slot(True, True, 0)], 20, 0) == (8, 0, True)
 
     # arrival pressure (waiting STREAMING-FIRST segment, occupancy full, not
     # saturated): pressure chunk at depth 1 even though the resident slot is
@@ -507,3 +511,26 @@ def test_fused_admission_equals_admit_plus_prefill(model):
     _, _, aud_b, _ = engine.decode_frames(st_b, key, 2, gen)
     np.testing.assert_array_equal(np.asarray(jax.device_get(aud_a))[1],
                                   np.asarray(jax.device_get(aud_b))[1])
+
+
+def test_stop_fails_open(model):
+    """stop() must strand no consumer and accept no new submissions: an
+    unfinished request gets an error + sentinel instead of blocking for the
+    full read timeout, and a post-stop submit raises instead of enqueuing
+    into a void (review finding r4)."""
+    from pocket_tts_tpu.runtime.batcher import _SENTINEL
+
+    b = ContinuousBatcher(model, batch_size=2, chunk_frames=4)
+    b.start()
+    out = b.submit("A sentence that will outlive the batcher by a lot.",
+                   latency_sensitive=False)
+    b.stop()
+    # drain: either the loop finished it cleanly during shutdown, or the
+    # fail-open sweep delivered an error — the queue MUST terminate with the
+    # sentinel within seconds, never hang for the full read timeout
+    while True:
+        item = out.get(timeout=5.0)
+        if item is _SENTINEL:
+            break
+    with pytest.raises(RuntimeError, match="crashed|restart"):
+        b.submit("too late")

@@ -426,3 +426,41 @@ def test_webui_endpoints_exist(client):
             assert resp.status == 200, (ep, await resp.text())
 
     loop.run_until_complete(go())
+
+
+def test_malformed_json_is_400(client):
+    """Invalid JSON bodies are a client error on every JSON route — an
+    unhandled JSONDecodeError would 500, and the fleet router treats 5xx as
+    worker failure (one bad request could mark every worker unhealthy)."""
+    c, loop = client
+
+    async def go(route):
+        resp = await c.post(route, data=b"{not json",
+                            headers={"Content-Type": "application/json"})
+        return resp.status
+
+    for route in ("/generate", "/stream", "/tts", "/v1/audio/speech"):
+        assert loop.run_until_complete(go(route)) == 400, route
+
+    async def go_nonobject():
+        resp = await c.post("/generate", json=["a", "list"])
+        return resp.status
+
+    assert loop.run_until_complete(go_nonobject()) == 400
+
+
+def test_unresolvable_explicit_voice_is_400(client):
+    """An explicitly requested voice that cannot be resolved must be a 400 —
+    silently substituting the unconditioned state returned 200 with
+    wrong-voice audio (review finding r4).  The DEFAULT voice still falls
+    back so offline servers stay usable."""
+    c, loop = client
+
+    async def go(body):
+        resp = await c.post("/generate", json=body)
+        return resp.status
+
+    assert loop.run_until_complete(
+        go({"text": "hi", "voice": "albba-no-such-voice"})) == 400
+    # no voice field -> default -> fallback -> 200
+    assert loop.run_until_complete(go({"text": "hi"})) == 200

@@ -122,11 +122,13 @@ class TestURLVoices:
     voice_url accepts URLs, python-reference main.py:114-171)."""
 
     @pytest.fixture()
-    def http_server(self, tmp_path):
+    def http_server(self, tmp_path, monkeypatch):
         import functools
         import http.server
         import threading
 
+        # loopback voice fetches are their own opt-in (SSRF hardening)
+        monkeypatch.setenv("POCKET_TTS_LOOPBACK_VOICES", "1")
         wav = np.random.default_rng(7).normal(size=24000).astype(np.float32) * 0.1
         audio_io.write_wav(tmp_path / "voice.wav", wav, 24000)
         (tmp_path / "not_audio.bin").write_bytes(b"\x00" * 64)
@@ -168,3 +170,12 @@ class TestURLVoices:
         monkeypatch.delenv("POCKET_TTS_ONLINE", raising=False)
         with pytest.raises(ValueError, match="POCKET_TTS_ONLINE"):
             voices.resolve_voice(model, "https://example.com/v.wav")
+
+    def test_loopback_url_gated(self, model, monkeypatch):
+        """Without the explicit opt-in, a loopback voice_url must be rejected
+        — an unconditional exemption from the online gate hands every client
+        a blind-SSRF probe against localhost-only services (review r4)."""
+        monkeypatch.delenv("POCKET_TTS_LOOPBACK_VOICES", raising=False)
+        monkeypatch.setenv("POCKET_TTS_ONLINE", "1")  # online gate not enough
+        with pytest.raises(ValueError, match="LOOPBACK"):
+            voices.resolve_voice(model, "http://127.0.0.1:9091/admin")
