@@ -41,6 +41,21 @@ def read_wav(path: str | Path | bytes) -> tuple[np.ndarray, int]:
             n_ch = int(np.frombuffer(buf[body + 2:body + 4], "<u2")[0])
             sr = int(np.frombuffer(buf[body + 4:body + 8], "<u4")[0])
             bits = int(np.frombuffer(buf[body + 14:body + 16], "<u2")[0])
+            if tag == 0xFFFE and size >= 40 and body + 26 <= len(buf):
+                # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first
+                # u16 of the SubFormat GUID (fmt offset 24).  DAWs commonly
+                # write float32 this way — treating it as int32 PCM decodes
+                # IEEE-754 bit patterns as garbage samples.
+                tag = int(np.frombuffer(buf[body + 24:body + 26], "<u2")[0])
+            # validate BEFORE any data is decoded: sample_rate=0 would reach
+            # the native resampler's integer division (SIGFPE kills the whole
+            # process — no Python except can catch it) and n_ch=0 a
+            # ZeroDivisionError; both are client-supplied bytes on the
+            # voice-upload path
+            if n_ch < 1 or n_ch > 64:
+                raise ValueError(f"Invalid WAV channel count {n_ch}")
+            if sr < 1 or sr > 4_000_000:
+                raise ValueError(f"Invalid WAV sample rate {sr}")
             fmt = (tag, n_ch, sr, bits)
         elif cid == b"data" and fmt is not None:
             tag, n_ch, sr, bits = fmt

@@ -67,7 +67,10 @@ def cmd_generate(args) -> int:
     t0 = time.time()
     chunks = []
     done_frames = 0
+    # file output has no consumer of early chunks: skip the warm-up chunk
+    # ramp (low_latency=False is ~25% more throughput, identical audio)
     for chunk in model.generate_stream_long(args.text, voice, fae,
+                                            low_latency=False,
                                             continuation_frames=cont):
         chunks.append(chunk)
         done_frames += len(chunk) // model.frame_size

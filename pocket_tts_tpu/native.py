@@ -49,7 +49,16 @@ def _find_lib() -> Path | None:
     wheel = Path(__file__).parent / "_native" / "libpocket_audio.so"
     if wheel.exists():
         return wheel
-    if _LIB_PATH.exists() or _build():
+    # always go through make when the source tree is present: make's own
+    # mtime check rebuilds a stale .so after a pocket_audio.cc edit (the old
+    # exists() short-circuit kept serving the old binary until someone
+    # deleted it by hand), and is a no-op when fresh
+    src = _NATIVE_DIR / "pocket_audio.cc"
+    stale = (_LIB_PATH.exists() and src.exists()
+             and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    if (_LIB_PATH.exists() and not stale) or _build():
+        return _LIB_PATH
+    if _LIB_PATH.exists():  # rebuild failed (no make); stale beats nothing
         return _LIB_PATH
     return None
 
@@ -66,23 +75,24 @@ def _load() -> ctypes.CDLL | None:
         return None
     try:
         lib = ctypes.CDLL(str(path))
-    except OSError as e:
-        logger.debug("native load failed: %s", e)
+        i64, i32, f32p, i16p, u8p = (ctypes.c_int64, ctypes.c_int32,
+                                     np.ctypeslib.ndpointer(np.float32),
+                                     np.ctypeslib.ndpointer(np.int16),
+                                     np.ctypeslib.ndpointer(np.uint8))
+        lib.pcm_f32_to_i16.argtypes = [f32p, i64, i16p]
+        lib.normalize_peak.argtypes = [f32p, i64, ctypes.c_float]
+        lib.resample_poly_out_len.argtypes = [i64, i64, i64]
+        lib.resample_poly_out_len.restype = i64
+        lib.resample_poly.argtypes = [f32p, i64, i64, i64, f32p]
+        lib.resample_poly.restype = i64
+        lib.wav_encoded_size.argtypes = [i64]
+        lib.wav_encoded_size.restype = i64
+        lib.wav_encode.argtypes = [f32p, i64, i32, u8p]
+    except (OSError, AttributeError) as e:
+        # AttributeError: a stale/foreign library missing a symbol must fall
+        # back to the pure-Python path, not crash the first audio conversion
+        logger.warning("native library unusable (%s); using Python fallback", e)
         return None
-
-    i64, i32, f32p, i16p, u8p = (ctypes.c_int64, ctypes.c_int32,
-                                 np.ctypeslib.ndpointer(np.float32),
-                                 np.ctypeslib.ndpointer(np.int16),
-                                 np.ctypeslib.ndpointer(np.uint8))
-    lib.pcm_f32_to_i16.argtypes = [f32p, i64, i16p]
-    lib.normalize_peak.argtypes = [f32p, i64, ctypes.c_float]
-    lib.resample_poly_out_len.argtypes = [i64, i64, i64]
-    lib.resample_poly_out_len.restype = i64
-    lib.resample_poly.argtypes = [f32p, i64, i64, i64, f32p]
-    lib.resample_poly.restype = i64
-    lib.wav_encoded_size.argtypes = [i64]
-    lib.wav_encoded_size.restype = i64
-    lib.wav_encode.argtypes = [f32p, i64, i32, u8p]
     _lib = lib
     return _lib
 

@@ -100,6 +100,13 @@ def split_into_best_sentences(tokenizer: TextTokenizer, text_to_generate: str) -
             e = min(s + MAX_TOKENS_PER_CHUNK, end)
             sentences.append((e - s, tokenizer.decode(tokens[s:e])))
 
+    # NOTE: budgets use the ORIGINAL token counts, but each emitted chunk is
+    # decode+join+re-encoded downstream (prepare_text_prompt adds <s> and the
+    # joins add spaces), so real chunks re-encode to up to ~54 tokens against
+    # the 50 budget.  This matches the oracle's algorithm exactly (parity
+    # hard-part #6) and is absorbed by the headroom to the largest text
+    # bucket (64, RuntimeConfig.text_buckets) — pinned by
+    # tests/test_host_modules.py::test_chunk_reencode_fits_largest_bucket.
     chunks: list[str] = []
     current = ""
     current_tokens = 0

@@ -279,17 +279,45 @@ def random_params(cfg: Config, plans: MimiPlans, seed: int = 0) -> dict:
     return jax.jit(init)(jax.random.PRNGKey(seed))
 
 
+def load_state_dict_any(path_spec: str | Path) -> dict:
+    """Load a combined checkpoint, or an os.pathsep-separated LIST of split
+    flow-lm/mimi files (their key layouts are auto-detected and remapped to
+    the combined names, then merged — the oracle's weights_loading.py flow).
+    """
+    spec = str(path_spec)
+    parts = spec.split(os.pathsep) if os.pathsep in spec else [path_spec]
+    merged: dict = {}
+    for part in parts:
+        path = resolve_uri(part)
+        if not path.exists():
+            raise FileNotFoundError(f"checkpoint {part} does not exist")
+        sd = load_safetensors(path)
+        if any(k.startswith("model.") for k in sd):
+            sd = remap_split_mimi(sd)
+        elif not any(k.startswith(("flow_lm.", "mimi.")) for k in sd):
+            sd = remap_split_flow_lm(sd)
+        merged.update(sd)
+    return merged
+
+
 def load_params(cfg: Config, plans: MimiPlans, *, allow_random: bool = True,
                 variant: str = "b6369a24") -> tuple[dict, bool]:
     """Load the combined checkpoint if reachable, else deterministic random init.
 
-    Returns (params, is_real_weights).  Checkpoint search order: $POCKET_TTS_WEIGHTS,
+    Returns (params, is_real_weights).  Checkpoint search order: $POCKET_TTS_WEIGHTS
+    (a combined file, or split flow-lm/mimi files joined by os.pathsep),
     ./tts_<variant>.safetensors, the hf:// URI (cache/network), then — if allowed —
     random init (architecture-faithful, so shape checks and benchmarks remain valid).
+
+    An EXPLICITLY configured POCKET_TTS_WEIGHTS that fails to load raises
+    instead of silently falling back: serving random-weight garbage against
+    the user's stated intent, with the real error hidden at DEBUG, is the
+    worst possible failure mode.
     """
+    env_spec = os.environ.get("POCKET_TTS_WEIGHTS")
     candidates: list[str | Path] = []
-    if os.environ.get("POCKET_TTS_WEIGHTS"):
-        candidates.append(os.environ["POCKET_TTS_WEIGHTS"])
+    if env_spec:
+        candidates.append(env_spec)
     candidates.append(Path.cwd() / f"tts_{variant}.safetensors")
     if cfg.weights_path:
         candidates.append(cfg.weights_path)
@@ -298,13 +326,18 @@ def load_params(cfg: Config, plans: MimiPlans, *, allow_random: bool = True,
 
     for cand in candidates:
         try:
-            path = resolve_uri(cand)
-            if not path.exists():
-                continue
-            sd = load_safetensors(path)
-            logger.info("Loaded weights from %s", path)
-            return convert_tts_state_dict(sd, cfg, plans), True
+            sd = load_state_dict_any(cand)
+            params = convert_tts_state_dict(sd, cfg, plans)
+            logger.info("Loaded weights from %s", cand)
+            return params, True
+        except FileNotFoundError as e:
+            if env_spec is not None and cand == env_spec:
+                raise FileNotFoundError(
+                    f"POCKET_TTS_WEIGHTS={cand} does not exist") from e
         except Exception as e:  # noqa: BLE001 - fall through candidates
+            if env_spec is not None and cand == env_spec:
+                raise RuntimeError(
+                    f"POCKET_TTS_WEIGHTS={cand} failed to load: {e}") from e
             logger.debug("Weight candidate %s failed: %s", cand, e)
 
     if not allow_random:

@@ -56,6 +56,30 @@ class TestChunking:
         for c in chunks[:-1]:
             assert c.rstrip().endswith((".", "!", "?"))
 
+    def test_chunk_reencode_fits_largest_bucket(self):
+        """Chunk budgets use stale token counts (decode+join+re-encode adds
+        ~1-4 tokens vs the 50 budget — the oracle algorithm has the same
+        drift); the invariant the static prefill buckets DEPEND on is that a
+        prepared chunk re-encodes within the largest text bucket.  Pins the
+        headroom so a bucket-config change that breaks it fails here, not as
+        an 'exceeds largest bucket' ValueError at prefill time."""
+        from pocket_tts_tpu.config import RuntimeConfig
+
+        largest_bucket = RuntimeConfig().text_buckets[-1]
+        # adversarial inputs: dense punctuation (many short sentences merge,
+        # maximizing join drift) and long punctuation-free runs (hard splits)
+        texts = [
+            "One. Two! Three? Four. Five! Six? Seven. Eight! Nine? Ten. " * 8,
+            ("antidisestablishmentarianism " * 120),
+            ("This is a fairly normal sentence with several words in it. "
+             * 12),
+        ]
+        for t in texts:
+            for c in text.split_into_best_sentences(self.tk, t):
+                prepared, _ = text.prepare_text_prompt(c)
+                _, n = text.tokens_array(self.tk, prepared)
+                assert n <= largest_bucket, (n, largest_bucket, c[:60])
+
 
 class TestPause:
     def test_explicit_ms(self):
@@ -162,3 +186,59 @@ class TestAudio:
     def test_wav_header_parses(self):
         hdr = audio.wav_header(24000)
         assert hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
+
+
+class TestWavHardening:
+    """Client-supplied WAV bytes reach read_wav via the voice-upload path —
+    malformed fmt fields must raise ValueError (a sample_rate=0 previously
+    reached the native resampler's integer division: SIGFPE kills the whole
+    process, uncatchable from Python), and WAVE_FORMAT_EXTENSIBLE float32
+    (the common DAW output) must decode as float, not int PCM garbage."""
+
+    @staticmethod
+    def _wav(tag, n_ch, sr, bits, data, ext_subformat=None):
+        import struct
+
+        if ext_subformat is not None:
+            # tag..bits (16 bytes) + cbSize=22 + validBits u16 + channelMask
+            # u32 + 16-byte SubFormat GUID whose first u16 is the real tag
+            fmt = (struct.pack("<HHIIHH", tag, n_ch, sr, sr * 4, 4, bits)
+                   + struct.pack("<HHI", 22, bits, 0x4)
+                   + struct.pack("<H", ext_subformat) + b"\x00" * 14)
+        else:
+            fmt = struct.pack("<HHIIHH", tag, n_ch, sr, sr * 4, 4, bits)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_zero_sample_rate_rejected(self):
+        import struct
+
+        wav = self._wav(1, 1, 0, 16, struct.pack("<4h", 0, 1, -1, 0))
+        with pytest.raises(ValueError, match="sample rate"):
+            audio.read_wav(wav)
+
+    def test_zero_channels_rejected(self):
+        import struct
+
+        wav = self._wav(1, 0, 24000, 16, struct.pack("<4h", 0, 1, -1, 0))
+        with pytest.raises(ValueError, match="channel"):
+            audio.read_wav(wav)
+
+    def test_extensible_float32_decodes_as_float(self):
+        import struct
+
+        payload = struct.pack("<4f", 0.5, -0.25, 1.0, 0.0)
+        wav = self._wav(0xFFFE, 1, 24000, 32, payload, ext_subformat=3)
+        samples, sr = audio.read_wav(wav)
+        assert sr == 24000
+        np.testing.assert_allclose(samples[0], [0.5, -0.25, 1.0, 0.0])
+
+    def test_extensible_int16_decodes_as_pcm(self):
+        import struct
+
+        payload = struct.pack("<4h", 0, 16384, -16384, 32767)
+        wav = self._wav(0xFFFE, 1, 24000, 16, payload, ext_subformat=1)
+        samples, _ = audio.read_wav(wav)
+        np.testing.assert_allclose(samples[0], [0.0, 0.5, -0.5, 32767 / 32768],
+                                   atol=1e-4)

@@ -187,3 +187,73 @@ def test_runtime_config_validates_segment_dispatch():
     # valid values construct fine, including via dataclasses.replace
     rc = RuntimeConfig(segment_dispatch="chunked")
     assert dataclasses.replace(rc, segment_dispatch="auto").segment_dispatch == "auto"
+
+
+def test_explicit_weights_failure_is_loud(tmp_path, monkeypatch):
+    """POCKET_TTS_WEIGHTS the user explicitly configured must fail LOUDLY:
+    a missing file raises FileNotFoundError and a corrupt/incompatible one
+    RuntimeError — silently serving random-init garbage with the real error
+    at DEBUG was the worst failure mode (review finding r4)."""
+    import pytest
+
+    cfg, _ = _combined_state_dict()
+    plans = MimiPlans(cfg.mimi)
+
+    monkeypatch.setenv("POCKET_TTS_WEIGHTS", str(tmp_path / "nope.safetensors"))
+    with pytest.raises(FileNotFoundError, match="POCKET_TTS_WEIGHTS"):
+        weights.load_params(cfg, plans)
+
+    bad = tmp_path / "corrupt.safetensors"
+    bad.write_bytes(b"\x00" * 64)
+    monkeypatch.setenv("POCKET_TTS_WEIGHTS", str(bad))
+    with pytest.raises(RuntimeError, match="POCKET_TTS_WEIGHTS"):
+        weights.load_params(cfg, plans)
+
+
+def test_split_pair_loads_end_to_end(tmp_path, monkeypatch):
+    """A split flow-lm + mimi checkpoint PAIR (os.pathsep-joined in
+    POCKET_TTS_WEIGHTS) must load through the auto-detected remaps and match
+    the combined checkpoint exactly — the advertised oracle
+    weights_loading.py flow, previously dead code (review finding r4)."""
+    import os
+
+    import jax
+    from safetensors.numpy import save_file
+
+    cfg, sd = _combined_state_dict()
+    plans = MimiPlans(cfg.mimi)
+
+    # invert the remaps: split flow-lm files carry bare oracle keys (with the
+    # conditioner names un-collapsed), split mimi files a "model." prefix
+    inv_flow = {
+        "conditioner.embed.weight":
+            "condition_provider.conditioners.transcript_in_segment.embed.weight",
+        "speaker_proj_weight":
+            "condition_provider.conditioners.speaker_wavs.output_proj.weight",
+    }
+    flow_sd, mimi_sd = {}, {}
+    for k, v in sd.items():
+        if k.startswith("flow_lm."):
+            bare = k.removeprefix("flow_lm.")
+            flow_sd[inv_flow.get(bare, bare)] = v
+        else:
+            mimi_sd["model." + k.removeprefix("mimi.")] = v
+    fp = tmp_path / "flow.safetensors"
+    mp = tmp_path / "mimi.safetensors"
+    save_file(flow_sd, str(fp))
+    save_file(mimi_sd, str(mp))
+
+    monkeypatch.setenv("POCKET_TTS_WEIGHTS", f"{fp}{os.pathsep}{mp}")
+    params_split, real = weights.load_params(cfg, plans)
+    assert real
+
+    combined = tmp_path / "combined.safetensors"
+    save_file(sd, str(combined))
+    monkeypatch.setenv("POCKET_TTS_WEIGHTS", str(combined))
+    params_comb, _ = weights.load_params(cfg, plans)
+
+    flat_s = jax.tree_util.tree_leaves(params_split)
+    flat_c = jax.tree_util.tree_leaves(params_comb)
+    assert len(flat_s) == len(flat_c)
+    for a, b in zip(flat_s, flat_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
