@@ -67,6 +67,12 @@ extern "C" {
 void pcm_f32_to_i16(const float* in, int64_t n, int16_t* out) {
   for (int64_t i = 0; i < n; ++i) {
     float v = in[i];
+    // NaN passes both clamp comparisons; the cast below would be UB in C++
+    // (Rust `as i16` and numpy define NaN -> 0, so match that explicitly)
+    if (v != v) {
+      out[i] = 0;
+      continue;
+    }
     v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
     // truncation toward zero matches the references (torch .short(),
     // Rust `as i16`, numpy astype)

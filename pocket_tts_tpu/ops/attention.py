@@ -84,14 +84,13 @@ def causal_cache_attention(
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
     pos: jnp.ndarray,
-    t_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Causal attention of ``q`` [B,T,H,D] (absolute positions ``pos + i``) against
     the full cache [B,S,H,D] (new keys already written at ``pos..``).
 
-    ``t_valid`` optionally marks how many of the T queries are real (right-padded
-    prefill); it only tightens the key-visibility bound — padded query rows compute
-    garbage the caller discards.
+    Right-padded prefill rows need no masking here: padded queries compute
+    garbage the caller discards, and prefill_write keeps their keys OUT of
+    the cache, so no real query ever attends to them.
     """
     b, t, h, d = q.shape
     s = k_cache.shape[1]

@@ -71,11 +71,29 @@ def param_sharding_rules(path: tuple, leaf) -> P:
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
+    from pocket_tts_tpu.ops.qtensor import QTensor
+
     def put(path, leaf):
+        if isinstance(leaf, QTensor):
+            # QTensor is a pytree node: without is_leaf the map would recurse
+            # into (q, scale) children, the path would gain a trailing /0 or
+            # /1 index, and every endswith name rule would silently miss —
+            # int8 TP weights were fully replicated with no signal.  The q
+            # array takes the named rule; the per-channel scale covers q's
+            # LEADING axes, so its spec is the rule truncated to its rank.
+            # (Packed int4 halves q's last axis — never a sharded axis here.)
+            spec = _fit_spec(param_sharding_rules(path, leaf), leaf.q.shape,
+                             mesh)
+            q = jax.device_put(leaf.q, NamedSharding(mesh, spec))
+            s_spec = _fit_spec(P(*spec[: leaf.scale.ndim]), leaf.scale.shape,
+                               mesh)
+            scale = jax.device_put(leaf.scale, NamedSharding(mesh, s_spec))
+            return QTensor(q, scale)
         spec = _fit_spec(param_sharding_rules(path, leaf), leaf.shape, mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(put, params)
+    return jax.tree_util.tree_map_with_path(
+        put, params, is_leaf=lambda x: isinstance(x, QTensor))
 
 
 def state_sharding_rules(path: tuple) -> P:
@@ -133,6 +151,8 @@ def sharding_manifest(tree) -> dict[str, dict]:
                     if ax is not None and dict(mesh.shape).get(ax, 1) > 1:
                         dist = True
         out[name] = {"shape": tuple(leaf.shape),
+                     "itemsize": getattr(getattr(leaf, "dtype", None),
+                                         "itemsize", 4),
                      "spec": str(spec) if spec is not None else None,
                      "sharded": dist}
 
@@ -146,7 +166,7 @@ def format_shard_report(tree, min_bytes: int = 1 << 20) -> str:
     man = sharding_manifest(tree)
     lines = []
     for name, info in sorted(man.items()):
-        nbytes = int(np.prod(info["shape"])) * 4
+        nbytes = int(np.prod(info["shape"])) * info.get("itemsize", 4)
         if info["sharded"]:
             lines.append(f"  sharded    {name} {info['shape']} {info['spec']}")
         elif nbytes >= min_bytes:

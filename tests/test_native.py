@@ -82,3 +82,22 @@ def test_input_preprocessing_parity_native():
         ref = f.get_tensor("mimi_input").astype(np.float32)
     if x.shape == ref.shape:
         assert np.abs(x - ref).max() < 1e-3
+
+
+def test_pcm_nan_is_zero():
+    """NaN samples must convert to 0 on BOTH paths (numpy defines it; the
+    C++ cast was UB — review finding r4) so native and fallback WAV bytes
+    never diverge."""
+    import numpy as np
+
+    from pocket_tts_tpu import audio, native
+
+    x = np.array([float("nan"), 0.25, float("-nan"), -0.25], np.float32)
+    py = np.clip(x, -1.0, 1.0)
+    py_vals = (np.where(np.isnan(py), 0.0, py) * 32767.0).astype("<i2")
+    got = np.frombuffer(audio.pcm_i16_le_bytes(x), "<i2")
+    assert got[0] == 0 and got[2] == 0
+    np.testing.assert_array_equal(got, py_vals)
+    if native.available():
+        nat = np.frombuffer(native.pcm_i16_le_bytes(x), "<i2")
+        np.testing.assert_array_equal(nat, got)

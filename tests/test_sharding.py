@@ -193,3 +193,62 @@ def test_flagship_sharding_manifest():
         sharded = {k for k, v in man.items() if v["sharded"]}
         missing = [k for k in expected if k not in sharded]
         assert not missing, f"tp={tp}: silently de-sharded: {missing}"
+
+
+def test_quantized_params_shard_under_tp():
+    """QTensor is a pytree node: without is_leaf handling, shard_params
+    recursed into (q, scale), the path gained a /0 index, every name rule
+    missed, and int8 TP weights replicated silently (review finding r4)."""
+    import __graft_entry__ as ge
+    from pocket_tts_tpu.ops.qtensor import QTensor
+    from pocket_tts_tpu.parallel.mesh import make_mesh, shard_params
+    from pocket_tts_tpu.runtime.quantize import quantize_params
+
+    cfg = ge.tiny_config(heads=8)
+    params = quantize_params(ge._build(cfg)[1])
+    mesh = make_mesh(8, tp=4)
+    placed = shard_params(params, mesh)
+
+    qt = placed["flow_lm"]["tf"]["in_proj"]
+    assert isinstance(qt, QTensor)
+
+    def axes(leaf):
+        spec = leaf.sharding.spec
+        return {ax for a in spec for ax in (a if isinstance(a, tuple) else (a,))
+                if ax is not None}
+
+    assert "tp" in axes(qt.q), qt.q.sharding
+    # the per-channel scale covers q's leading axes incl. the sharded one
+    assert "tp" in axes(qt.scale), qt.scale.sharding
+    # ff2 is row-parallel (contraction axis sharded): its scale covers only
+    # the leading output axes and stays replicated — but must still PLACE
+    ff2 = placed["flow_lm"]["tf"]["ff2"]
+    assert "tp" in axes(ff2.q)
+
+    # numerics: quantized sharded generation must match quantized single-device
+    from pocket_tts_tpu.runtime.engine import Engine, GenParams
+
+    def run(mesh_):
+        eng = Engine(cfg, params, batch_size=2, mesh=mesh_)
+        toks = np.tile(np.arange(1, 7, dtype=np.int32)[None], (2, 1))
+
+        def go():
+            st = eng.new_state(2)
+            if mesh_ is not None:
+                from pocket_tts_tpu.parallel.mesh import shard_state
+
+                eng.params = shard_params(eng.params, mesh_)
+                st = shard_state(st, mesh_)
+            st = eng.prefill_tokens(st, toks, 6)
+            _, _, audio, _ = eng.decode_frames(
+                st, jax.random.PRNGKey(0), 2, GenParams(temp=0.5))
+            return np.asarray(jax.device_get(audio))
+
+        if mesh_ is None:
+            return go()
+        with mesh_:
+            return go()
+
+    ref = run(None)
+    sh = run(mesh)
+    assert np.abs(sh.astype(np.int32) - ref.astype(np.int32)).max() <= 1
