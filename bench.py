@@ -268,16 +268,17 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{label} bench failed: {e}", file=sys.stderr)
 
+    def _quantize(m):
+        from pocket_tts_tpu.runtime.quantize import quantize_model
+
+        return quantize_model(m)
+
     variant_leg("kv_fp8_x", "fp8 KV cache", kv_dtype="float8_e4m3")
     variant_leg("mulaw_x", "mulaw transport", transport_format="mulaw")
     # the max-bandwidth-savings combo: int8 weights AND fp8 KV — every large
     # HBM stream of the AR step at 8 bits
-    try:
-        from pocket_tts_tpu.runtime.quantize import quantize_model as _qm
-        variant_leg("int8_fp8_x", "int8 weights + fp8 KV", transform=_qm,
-                    kv_dtype="float8_e4m3")
-    except Exception as e:  # noqa: BLE001
-        print(f"int8+fp8 bench failed: {e}", file=sys.stderr)
+    variant_leg("int8_fp8_x", "int8 weights + fp8 KV", transform=_quantize,
+                kv_dtype="float8_e4m3")
 
     # Tunnel weather moves in minutes-scale phases (docs/performance.md), so
     # a tight cluster of 5 early runs can all land in a slow phase.  Sample

@@ -49,18 +49,15 @@ def _find_lib() -> Path | None:
     wheel = Path(__file__).parent / "_native" / "libpocket_audio.so"
     if wheel.exists():
         return wheel
-    # always go through make when the source tree is present: make's own
-    # mtime check rebuilds a stale .so after a pocket_audio.cc edit (the old
-    # exists() short-circuit kept serving the old binary until someone
-    # deleted it by hand), and is a no-op when fresh
+    # rebuild a stale .so after a pocket_audio.cc edit (the old exists()
+    # short-circuit kept serving the old binary until someone deleted it by
+    # hand); if the rebuild fails (no make), stale beats nothing
     src = _NATIVE_DIR / "pocket_audio.cc"
-    stale = (_LIB_PATH.exists() and src.exists()
-             and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
-    if (_LIB_PATH.exists() and not stale) or _build():
+    if _LIB_PATH.exists():
+        if src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime:
+            _build()  # best-effort refresh
         return _LIB_PATH
-    if _LIB_PATH.exists():  # rebuild failed (no make); stale beats nothing
-        return _LIB_PATH
-    return None
+    return _LIB_PATH if _build() else None
 
 
 def _load() -> ctypes.CDLL | None:
