@@ -242,3 +242,16 @@ class TestWavHardening:
         samples, _ = audio.read_wav(wav)
         np.testing.assert_allclose(samples[0], [0.0, 0.5, -0.5, 32767 / 32768],
                                    atol=1e-4)
+
+
+def test_examples_compile():
+    """Every example script must at least be valid Python — they are user
+    documentation and break silently otherwise (none are executed in CI:
+    each loads the ~90 MB flagship model)."""
+    import py_compile
+    from pathlib import Path
+
+    examples = sorted((Path(__file__).parent.parent / "examples").glob("*.py"))
+    assert examples, "examples/ directory is empty"
+    for ex in examples:
+        py_compile.compile(str(ex), doraise=True)

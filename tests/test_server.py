@@ -464,3 +464,46 @@ def test_unresolvable_explicit_voice_is_400(client):
         go({"text": "hi", "voice": "albba-no-such-voice"})) == 400
     # no voice field -> default -> fallback -> 200
     assert loop.run_until_complete(go({"text": "hi"})) == 200
+
+
+def test_midstream_failure_aborts_connection(model):
+    """A producer crash mid-stream must ABORT the connection, not terminate
+    the chunked response cleanly — a clean EOF made truncation
+    indistinguishable from success (review finding r4)."""
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    state = ServerState(model)
+
+    calls = {"n": 0}
+    orig = model.generate_stream_long
+
+    def exploding(*a, **kw):
+        for chunk in orig(*a, **kw):
+            yield chunk
+            calls["n"] += 1
+            if calls["n"] >= 1:
+                raise RuntimeError("simulated mid-stream decode failure")
+
+    model.generate_stream_long = exploding
+    try:
+        app = create_app(state)
+        c = TestClient(TestServer(app), loop=loop)
+        loop.run_until_complete(c.start_server())
+
+        async def go():
+            import aiohttp
+
+            resp = await c.post("/stream", json={"text": "A failing stream."})
+            assert resp.status == 200  # status line was already on the wire
+            try:
+                await resp.read()
+            except aiohttp.ClientError:
+                return "aborted"
+            return "clean"
+
+        assert loop.run_until_complete(go()) == "aborted"
+        loop.run_until_complete(c.close())
+    finally:
+        model.generate_stream_long = orig
+        loop.close()
