@@ -534,3 +534,54 @@ def test_stop_fails_open(model):
             break
     with pytest.raises(RuntimeError, match="crashed|restart"):
         b.submit("too late")
+
+
+def test_concurrent_chaos(model):
+    """Concurrency soak of the cancellation/fail-open paths (review r4):
+    random mix of whole-WAV generates, streams abandoned mid-audio, and
+    submit-then-cancel across threads — no errors, no hangs, and the
+    submitted/completed/cancelled accounting must balance."""
+    import random
+
+    b = ContinuousBatcher(model, batch_size=3, chunk_frames=4, warm_chunk=2)
+    b.start()
+    texts = ["Short one.",
+             "A slightly longer sentence for chaos testing here.",
+             "Two segments, even. [pause:100ms] After a pause."]
+    errors, done = [], [0]
+
+    def worker(i):
+        r = random.Random(i)
+        try:
+            for _ in range(3):
+                mode = r.random()
+                t = texts[r.randrange(len(texts))]
+                if mode < 0.4:
+                    b.generate(t, pauses=True)
+                elif mode < 0.8:
+                    it = b.stream(t)
+                    for _chunk in it:
+                        if r.random() < 0.3:
+                            it.close()  # abandon mid-stream -> cancel
+                            break
+                else:
+                    out = b.submit(t)
+                    b._cancel(out._pocket_request)
+                done[0] += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=240)
+    st = b.stats()
+    b.stop()
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads), "worker hung"
+    assert done[0] == 12
+    assert st["requests_submitted"] == \
+        st["requests_completed"] + st["requests_cancelled"]
+    with pytest.raises(RuntimeError):
+        b.submit("too late")
