@@ -91,6 +91,95 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Offline batch synthesis: one WAV per manifest line, decoded
+    concurrently through the continuous batcher at aggregate throughput
+    (~2x single-stream wall clock at batch 16 — docs/performance.md).
+    Extension beyond the reference CLI, which synthesizes one utterance
+    per invocation."""
+    import json
+    from pathlib import Path
+
+    from pocket_tts_tpu import audio as audio_io
+    from pocket_tts_tpu.runtime.batcher import batched_tts
+    from pocket_tts_tpu.server import voices as voices_mod
+
+    # parse the manifest before touching the device: plain lines are bare
+    # utterances; lines starting with "{" are JSONL {"text", "voice"?, "output"?}
+    items = []  # (text, voice_spec | None, output_name | None)
+    with open(args.manifest, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                    text = obj["text"]
+                except (json.JSONDecodeError, KeyError) as e:
+                    print(f"{args.manifest}:{lineno}: bad JSONL entry ({e})",
+                          file=sys.stderr)
+                    return 2
+                items.append((text, obj.get("voice"), obj.get("output")))
+            else:
+                items.append((line, None, None))
+    if not items:
+        print(f"{args.manifest}: no utterances", file=sys.stderr)
+        return 2
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = [out_dir / (name or f"{i:05d}.wav")
+             for i, (_, _, name) in enumerate(items)]
+    dupes = {p for p in paths if paths.count(p) > 1}
+    if dupes:
+        print(f"duplicate output paths in manifest: "
+              f"{sorted(str(p) for p in dupes)}", file=sys.stderr)
+        return 2
+
+    model = _load_model(args)
+    resolved: dict[str, object] = {}
+    voices = []
+    for _, spec, _ in items:
+        spec = spec or args.voice
+        if spec is None:
+            voices.append(None)
+            continue
+        if spec not in resolved:  # voice encode is a prefill — dedup it
+            resolved[spec] = voices_mod.resolve_voice(model, spec)
+        voices.append(resolved[spec])
+
+    batcher = batched_tts(model, batch_size=args.batch_size,
+                          chunk_frames=args.chunk_frames)
+    n_fail = 0
+    total_audio = 0.0
+    t0 = time.time()
+
+    def on_result(i, res):
+        nonlocal n_fail, total_audio
+        if isinstance(res, Exception):
+            n_fail += 1
+            print(f"[{i + 1}/{len(items)}] FAILED {paths[i].name}: {res}",
+                  file=sys.stderr)
+            return
+        audio_io.write_wav(paths[i], res, model.sample_rate)
+        total_audio += res.size / model.sample_rate
+        if not args.quiet:
+            print(f"[{i + 1}/{len(items)}] {paths[i].name}: "
+                  f"{res.size / model.sample_rate:.2f}s", file=sys.stderr)
+
+    try:
+        batcher.generate_batch([t for t, _, _ in items], voices,
+                               return_exceptions=True, on_result=on_result)
+    finally:
+        batcher.stop()
+    dt = time.time() - t0
+    print(f"{len(items) - n_fail}/{len(items)} utterances -> {out_dir}: "
+          f"{total_audio:.1f}s audio in {dt:.1f}s "
+          f"(aggregate {total_audio / max(dt, 1e-9):.1f}x realtime)",
+          file=sys.stderr)
+    return 1 if n_fail else 0
+
+
 def cmd_serve(args) -> int:
     from pocket_tts_tpu.server.app import start_server
 
@@ -151,6 +240,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "generated audio for cross-segment prosody")
     _add_gen_params(g)
     g.set_defaults(fn=cmd_generate)
+
+    b = sub.add_parser("batch", help="synthesize a manifest of utterances "
+                       "concurrently (one WAV each, aggregate throughput)")
+    b.add_argument("--manifest", required=True,
+                   help="one utterance per line, or JSONL lines "
+                        '{"text": ..., "voice"?: ..., "output"?: ...}')
+    b.add_argument("--out-dir", "-o", default="batch_out")
+    b.add_argument("--voice", default=None,
+                   help="default voice for lines that don't specify one")
+    b.add_argument("--batch-size", type=int, default=16,
+                   help="concurrent decode slots (16 is the measured knee)")
+    b.add_argument("--chunk-frames", type=int, default=64,
+                   help="decode dispatch size (64 is the throughput chunk)")
+    b.add_argument("--quiet", "-q", action="store_true")
+    _add_gen_params(b)
+    b.set_defaults(fn=cmd_batch)
 
     s = sub.add_parser("serve", help="start the HTTP server")
     s.add_argument("--host", default="0.0.0.0")

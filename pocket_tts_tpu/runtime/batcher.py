@@ -32,6 +32,7 @@ import logging
 import os
 import queue
 import threading
+import time
 from typing import Iterator
 
 import jax
@@ -279,10 +280,29 @@ class ContinuousBatcher:
                                             name="tts-batcher")
             self._thread.start()
 
-    def stop(self) -> None:
+    def stop(self, timeout: float = 600.0) -> None:
+        """Stop the decode loop, waiting out any in-flight device dispatch.
+
+        The loop checks the stop flag every iteration, but it cannot preempt
+        a dispatch already executing — and on a slow backend (CPU at flagship
+        dims) one 64-frame chunk can run for minutes.  Abandoning the daemon
+        thread mid-XLA-call used to SIGABRT the interpreter at exit
+        ("FATAL: exception not rethrown"), so we wait, loudly."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=30)
+            deadline = time.monotonic() + timeout
+            while self._thread.is_alive():
+                self._thread.join(timeout=15)
+                if not self._thread.is_alive():
+                    break
+                if time.monotonic() >= deadline:
+                    logger.error(
+                        "batcher decode thread still running after %.0fs; "
+                        "abandoning it — the process may abort at exit if "
+                        "the device call never returns", timeout)
+                    break
+                logger.warning("batcher stop(): waiting for the in-flight "
+                               "device dispatch to finish")
             self._thread = None
         # a stopped batcher must fail open exactly like a crashed one: the
         # loop's shutdown drain delivers whatever was in flight, but anything
@@ -418,6 +438,10 @@ class ContinuousBatcher:
                  gen: GenParams | None = None, *, pauses: bool = True) -> np.ndarray:
         out = self.submit(text, voice, gen, pauses=pauses,
                           latency_sensitive=False)
+        return self._drain(out)
+
+    def _drain(self, out: queue.Queue) -> np.ndarray:
+        """Collect a submitted request's chunks into one array."""
         req = getattr(out, "_pocket_request", None)
         chunks = []
         try:
@@ -441,6 +465,84 @@ class ContinuousBatcher:
             if req is not None and not req.finished:
                 self._cancel(req)
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    def _cancel_out(self, out: queue.Queue | None) -> None:
+        if out is None:
+            return
+        req = getattr(out, "_pocket_request", None)
+        if req is not None and not req.finished:
+            self._cancel(req)
+
+    def generate_batch(self, texts, voices=None, gens=None, *,
+                       pauses: bool = True, return_exceptions: bool = False,
+                       on_result=None) -> list:
+        """Synthesize many utterances concurrently at aggregate throughput.
+
+        Every item is submitted up-front so the decode loop keeps all
+        ``batch_size`` slots busy (aggregate RTF ~2x single-stream at B=16,
+        docs/performance.md); results come back in input order.  This is the
+        offline-synthesis surface — an extension beyond the reference, which
+        only serves concurrency over HTTP — and dispatches the same decode
+        programs as the server's batched tier.
+
+        ``voices`` / ``gens``: ``None`` (model defaults), one value shared by
+        every item, or a list/tuple with one entry per item (``None`` entries
+        fall back to the default).  ``VoiceState``/``GenParams`` are frozen
+        dataclasses, never sequences, so the shapes are unambiguous.
+
+        ``return_exceptions=False`` (default): the first failing item cancels
+        everything outstanding and re-raises.  ``True``: asyncio.gather
+        semantics — a failed item holds its exception in the result list and
+        the rest still complete.  ``on_result(index, audio_or_exception)``
+        fires as each item finishes, in input order, from the calling thread.
+        """
+        texts = list(texts)
+        n = len(texts)
+
+        def per_item(x, name):
+            if isinstance(x, (list, tuple)):
+                if len(x) != n:
+                    raise ValueError(f"{name} has {len(x)} entries for "
+                                     f"{n} texts")
+                return list(x)
+            return [x] * n
+
+        voices = per_item(voices, "voices")
+        gens = per_item(gens, "gens")
+
+        outs: list[queue.Queue | None] = [None] * n
+        results: list = [None] * n
+        try:
+            for i in range(n):
+                try:
+                    outs[i] = self.submit(texts[i], voices[i], gens[i],
+                                          pauses=pauses,
+                                          latency_sensitive=False)
+                except Exception as e:  # noqa: BLE001
+                    if not return_exceptions:
+                        raise
+                    results[i] = e
+            for i in range(n):
+                if outs[i] is None:  # submit failed, exception recorded
+                    if on_result is not None:
+                        on_result(i, results[i])
+                    continue
+                try:
+                    results[i] = self._drain(outs[i])
+                except Exception as e:  # noqa: BLE001
+                    if not return_exceptions:
+                        raise
+                    results[i] = e
+                finally:
+                    outs[i] = None  # drained or cancelled by _drain
+                if on_result is not None:
+                    on_result(i, results[i])
+        finally:
+            # fail-fast path: everything not yet drained must be cancelled or
+            # its segments keep occupying slots after the caller has given up
+            for out in outs:
+                self._cancel_out(out)
+        return results
 
     # -- decode loop -----------------------------------------------------------
 

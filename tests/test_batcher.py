@@ -585,3 +585,54 @@ def test_concurrent_chaos(model):
         st["requests_completed"] + st["requests_cancelled"]
     with pytest.raises(RuntimeError):
         b.submit("too late")
+
+
+def test_generate_batch_matches_single(model, batcher):
+    """Offline batch API: results in input order, each equal to the
+    single-stream output at temp=0; per-item gens honored."""
+    texts = ["Batch item number one.", "Batch item number two.",
+             "Batch item number three, a little longer than the others."]
+    singles = [model.generate_with_pauses(t) for t in texts]
+    results = batcher.generate_batch(texts)
+    assert len(results) == 3
+    for i, (got, want) in enumerate(zip(results, singles)):
+        assert got.shape == want.shape, i
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"item {i}")
+
+    # per-item gen list: a different lsd step count must change the audio
+    gens = [None, GenParams(temp=0.0, lsd_decode_steps=2), None]
+    varied = batcher.generate_batch(texts, gens=gens)
+    np.testing.assert_allclose(varied[0], singles[0], atol=1e-4)
+    assert (varied[1].shape != singles[1].shape
+            or not np.allclose(varied[1], singles[1], atol=1e-4))
+
+
+def test_generate_batch_exceptions(model, batcher):
+    """return_exceptions=True records a failed item and completes the rest;
+    the default fail-fast raises and leaves the batcher reusable."""
+    texts = ["A valid first utterance.", "   ", "A valid third utterance."]
+    results = batcher.generate_batch(texts, return_exceptions=True)
+    assert isinstance(results[1], ValueError)
+    want0 = model.generate_with_pauses(texts[0])
+    np.testing.assert_allclose(results[0], want0, atol=1e-4)
+    assert results[2].size > 0
+
+    seen = []
+    with pytest.raises(ValueError):
+        batcher.generate_batch(texts, on_result=lambda i, r: seen.append(i))
+    # fail-fast must not poison the loop: a fresh request still completes
+    again = batcher.generate("Still alive after the failure.")
+    assert again.size > 0
+
+
+def test_generate_batch_shared_and_list_voices(model, batcher):
+    """A single VoiceState is shared; a list supplies one per item (None
+    entries fall back to the default)."""
+    vs = model.get_voice_state()
+    texts = ["Shared voice item.", "Second shared item."]
+    shared = batcher.generate_batch(texts, voices=vs)
+    listed = batcher.generate_batch(texts, voices=[vs, None])
+    for got, want in zip(shared, listed):
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    with pytest.raises(ValueError, match="voices has 1"):
+        batcher.generate_batch(texts, voices=[vs])

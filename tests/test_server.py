@@ -155,6 +155,35 @@ class TestCLI:
         with wave.open(str(out), "rb") as f:
             assert f.getnframes() > 0
 
+    def test_batch_manifest(self, model, tmp_path, monkeypatch):
+        """`batch` synthesizes a mixed plain/JSONL manifest concurrently:
+        one WAV per line, JSONL `output` names honored, failures reported
+        per-item without sinking the run (exit 1)."""
+        from pocket_tts_tpu import cli
+
+        manifest = tmp_path / "lines.txt"
+        manifest.write_text(
+            "A plain manifest line.\n"
+            "# a comment, skipped\n"
+            '{"text": "A JSONL line.", "output": "named.wav"}\n'
+            '{"text": "   "}\n',  # blank text -> per-item failure
+            encoding="utf-8")
+        out_dir = tmp_path / "out"
+        monkeypatch.setattr(cli, "_load_model", lambda args: model)
+        rc = cli.main(["batch", "--manifest", str(manifest),
+                       "--out-dir", str(out_dir), "--batch-size", "2",
+                       "--quiet"])
+        assert rc == 1  # the blank-text item failed
+        for name in ("00000.wav", "named.wav"):
+            with wave.open(str(out_dir / name), "rb") as f:
+                assert f.getnframes() > 0
+        assert not (out_dir / "00003.wav").exists()
+
+        bad = tmp_path / "bad.txt"
+        bad.write_text('{"voice": "no text key"}\n', encoding="utf-8")
+        assert cli.main(["batch", "--manifest", str(bad),
+                         "--out-dir", str(out_dir)]) == 2
+
     def test_stream_to_stdout(self, model, tmp_path, monkeypatch, capfdbinary):
         from pocket_tts_tpu import cli
 
