@@ -97,6 +97,7 @@ def cmd_batch(args) -> int:
     (~2x single-stream wall clock at batch 16 — docs/performance.md).
     Extension beyond the reference CLI, which synthesizes one utterance
     per invocation."""
+    import collections
     import json
     from pathlib import Path
 
@@ -120,7 +121,13 @@ def cmd_batch(args) -> int:
                     print(f"{args.manifest}:{lineno}: bad JSONL entry ({e})",
                           file=sys.stderr)
                     return 2
-                items.append((text, obj.get("voice"), obj.get("output")))
+                out_name = obj.get("output")
+                if out_name is not None and not isinstance(out_name, str):
+                    print(f"{args.manifest}:{lineno}: \"output\" must be a "
+                          f"string, got {type(out_name).__name__}",
+                          file=sys.stderr)
+                    return 2
+                items.append((text, obj.get("voice"), out_name))
             else:
                 items.append((line, None, None))
     if not items:
@@ -128,9 +135,18 @@ def cmd_batch(args) -> int:
         return 2
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    paths = [out_dir / (name or f"{i:05d}.wav")
-             for i, (_, _, name) in enumerate(items)]
-    dupes = {p for p in paths if paths.count(p) > 1}
+    root = out_dir.resolve()
+    paths = []
+    for i, (_, _, name) in enumerate(items):
+        p = out_dir / (name or f"{i:05d}.wav")
+        # every output stays inside --out-dir: a manifest is data, and an
+        # absolute or ../-escaping "output" must not write elsewhere
+        if not p.resolve().is_relative_to(root):
+            print(f"manifest output {name!r} escapes --out-dir {out_dir}",
+                  file=sys.stderr)
+            return 2
+        paths.append(p)
+    dupes = [p for p, n in collections.Counter(paths).items() if n > 1]
     if dupes:
         print(f"duplicate output paths in manifest: "
               f"{sorted(str(p) for p in dupes)}", file=sys.stderr)
@@ -145,7 +161,13 @@ def cmd_batch(args) -> int:
             voices.append(None)
             continue
         if spec not in resolved:  # voice encode is a prefill — dedup it
-            resolved[spec] = voices_mod.resolve_voice(model, spec)
+            try:
+                resolved[spec] = voices_mod.resolve_voice(model, spec)
+            except Exception as e:  # noqa: BLE001
+                # fail before synthesis: unlike generate's warn-and-fallback,
+                # a batch silently re-voiced to the default wastes the run
+                print(f"voice {spec!r} unresolvable: {e}", file=sys.stderr)
+                return 2
         voices.append(resolved[spec])
 
     batcher = batched_tts(model, batch_size=args.batch_size,
@@ -156,12 +178,17 @@ def cmd_batch(args) -> int:
 
     def on_result(i, res):
         nonlocal n_fail, total_audio
+        if not isinstance(res, Exception):
+            try:
+                paths[i].parent.mkdir(parents=True, exist_ok=True)
+                audio_io.write_wav(paths[i], res, model.sample_rate)
+            except OSError as e:  # disk full / permissions: this item failed,
+                res = e           # the rest of the batch must still land
         if isinstance(res, Exception):
             n_fail += 1
             print(f"[{i + 1}/{len(items)}] FAILED {paths[i].name}: {res}",
                   file=sys.stderr)
             return
-        audio_io.write_wav(paths[i], res, model.sample_rate)
         total_audio += res.size / model.sample_rate
         if not args.quiet:
             print(f"[{i + 1}/{len(items)}] {paths[i].name}: "
@@ -169,7 +196,9 @@ def cmd_batch(args) -> int:
 
     try:
         batcher.generate_batch([t for t, _, _ in items], voices,
-                               return_exceptions=True, on_result=on_result)
+                               frames_after_eos=args.frames_after_eos,
+                               return_exceptions=True, on_result=on_result,
+                               collect=False)
     finally:
         batcher.stop()
     dt = time.time() - t0

@@ -292,7 +292,8 @@ class ContinuousBatcher:
         if self._thread is not None:
             deadline = time.monotonic() + timeout
             while self._thread.is_alive():
-                self._thread.join(timeout=15)
+                self._thread.join(
+                    timeout=max(0.0, min(15.0, deadline - time.monotonic())))
                 if not self._thread.is_alive():
                     break
                 if time.monotonic() >= deadline:
@@ -312,7 +313,8 @@ class ContinuousBatcher:
 
     def submit(self, text: str, voice: VoiceState | None = None,
                gen: GenParams | None = None, *, pauses: bool = True,
-               latency_sensitive: bool = True) -> queue.Queue:
+               latency_sensitive: bool = True,
+               frames_after_eos: int | None = None) -> queue.Queue:
         """Enqueue a request; returns a queue of float32 chunks ending with a
         sentinel (use :meth:`stream` for an iterator).
 
@@ -322,7 +324,11 @@ class ContinuousBatcher:
         ``latency_sensitive=True`` (streaming consumers) gives the request's
         first text segment the warm-chunk admission ramp so its first audio
         surfaces in ~one small dispatch; ``False`` (whole-WAV consumers)
-        skips the ramp and optimizes pure completion time."""
+        skips the ramp and optimizes pure completion time.
+
+        ``frames_after_eos``: extra frames synthesized past EOS detection for
+        EVERY text segment; None derives it per sentence from the text length
+        (same override semantics as TTSModel.generate, tts.py)."""
         if not text or not text.strip():
             raise ValueError("Text prompt cannot be empty")
         if self._dead:
@@ -365,7 +371,9 @@ class ContinuousBatcher:
                 seg = _Segment(req, index, "text", tokens=tokens,
                                n_tokens=n_tokens,
                                max_frames=max(0, min(max_frames, room)),
-                               frames_after_eos=fae + 2,
+                               frames_after_eos=(fae + 2
+                                                 if frames_after_eos is None
+                                                 else frames_after_eos),
                                ramp=latency_sensitive and first_text, seq=seq)
                 seg.d_tokens = self.engine.pad_token_row(tokens)
                 req.segments.append(seg)
@@ -474,8 +482,9 @@ class ContinuousBatcher:
             self._cancel(req)
 
     def generate_batch(self, texts, voices=None, gens=None, *,
-                       pauses: bool = True, return_exceptions: bool = False,
-                       on_result=None) -> list:
+                       pauses: bool = True, frames_after_eos: int | None = None,
+                       return_exceptions: bool = False,
+                       on_result=None, collect: bool = True) -> list:
         """Synthesize many utterances concurrently at aggregate throughput.
 
         Every item is submitted up-front so the decode loop keeps all
@@ -495,6 +504,11 @@ class ContinuousBatcher:
         semantics — a failed item holds its exception in the result list and
         the rest still complete.  ``on_result(index, audio_or_exception)``
         fires as each item finishes, in input order, from the calling thread.
+
+        ``collect=False`` drops each item's audio right after its
+        ``on_result`` call (its slot in the returned list is None; exceptions
+        are still recorded) — a 10k-utterance manifest would otherwise pin
+        every float32 waveform in memory until the call returns.
         """
         texts = list(texts)
         n = len(texts)
@@ -517,7 +531,8 @@ class ContinuousBatcher:
                 try:
                     outs[i] = self.submit(texts[i], voices[i], gens[i],
                                           pauses=pauses,
-                                          latency_sensitive=False)
+                                          latency_sensitive=False,
+                                          frames_after_eos=frames_after_eos)
                 except Exception as e:  # noqa: BLE001
                     if not return_exceptions:
                         raise
@@ -537,6 +552,8 @@ class ContinuousBatcher:
                     outs[i] = None  # drained or cancelled by _drain
                 if on_result is not None:
                     on_result(i, results[i])
+                if not collect and not isinstance(results[i], Exception):
+                    results[i] = None
         finally:
             # fail-fast path: everything not yet drained must be cancelled or
             # its segments keep occupying slots after the caller has given up

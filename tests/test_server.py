@@ -177,12 +177,72 @@ class TestCLI:
         for name in ("00000.wav", "named.wav"):
             with wave.open(str(out_dir / name), "rb") as f:
                 assert f.getnframes() > 0
-        assert not (out_dir / "00003.wav").exists()
+        # the failed item is index 2 (plain line, JSONL line, blank-text)
+        assert not (out_dir / "00002.wav").exists()
 
+        for bad_line in ('{"voice": "no text key"}',        # missing text
+                         '{"text": "x", "output": 5}',      # non-string output
+                         '{"text": "x", "output": "../esc.wav"}',  # escape
+                         '{"text": "x", "output": "/tmp/abs.wav"}'):
+            bad = tmp_path / "bad.txt"
+            bad.write_text(bad_line + "\n", encoding="utf-8")
+            assert cli.main(["batch", "--manifest", str(bad),
+                             "--out-dir", str(out_dir)]) == 2, bad_line
+        # unresolvable voice: clean exit 2 before any synthesis
         bad = tmp_path / "bad.txt"
-        bad.write_text('{"voice": "no text key"}\n', encoding="utf-8")
+        bad.write_text('{"text": "x", "voice": "no-such-voice.wav"}\n',
+                       encoding="utf-8")
         assert cli.main(["batch", "--manifest", str(bad),
                          "--out-dir", str(out_dir)]) == 2
+
+    def test_batch_write_failure_is_per_item(self, model, tmp_path,
+                                             monkeypatch):
+        """A WAV write error (disk full, bad subdir) fails that ITEM — the
+        rest of the manifest still lands and the exit code is 1, not a
+        traceback that cancels everything."""
+        from pocket_tts_tpu import audio as audio_io, cli
+
+        manifest = tmp_path / "m.txt"
+        manifest.write_text("First utterance.\nSecond utterance.\n",
+                            encoding="utf-8")
+        out_dir = tmp_path / "out"
+        monkeypatch.setattr(cli, "_load_model", lambda args: model)
+        real_write = audio_io.write_wav
+
+        def flaky_write(path, *a, **kw):
+            if path.name == "00000.wav":
+                raise OSError(28, "No space left on device")
+            return real_write(path, *a, **kw)
+
+        monkeypatch.setattr(audio_io, "write_wav", flaky_write)
+        rc = cli.main(["batch", "--manifest", str(manifest),
+                       "--out-dir", str(out_dir), "--quiet"])
+        assert rc == 1
+        assert not (out_dir / "00000.wav").exists()
+        with wave.open(str(out_dir / "00001.wav"), "rb") as f:
+            assert f.getnframes() > 0
+
+    def test_batch_nested_output_and_frames_after_eos(self, model, tmp_path,
+                                                      monkeypatch):
+        """Relative subdir outputs are created; --frames-after-eos reaches
+        the batcher (longer override -> more audio)."""
+        from pocket_tts_tpu import cli
+
+        manifest = tmp_path / "m.txt"
+        manifest.write_text('{"text": "Nested output line.", '
+                            '"output": "sub/dir/x.wav"}\n', encoding="utf-8")
+        out = tmp_path / "o1"
+        monkeypatch.setattr(cli, "_load_model", lambda args: model)
+        assert cli.main(["batch", "--manifest", str(manifest),
+                         "--out-dir", str(out), "--quiet"]) == 0
+        with wave.open(str(out / "sub/dir/x.wav"), "rb") as f:
+            short = f.getnframes()
+        out2 = tmp_path / "o2"
+        assert cli.main(["batch", "--manifest", str(manifest),
+                         "--out-dir", str(out2), "--quiet",
+                         "--frames-after-eos", "40"]) == 0
+        with wave.open(str(out2 / "sub/dir/x.wav"), "rb") as f:
+            assert f.getnframes() > short
 
     def test_stream_to_stdout(self, model, tmp_path, monkeypatch, capfdbinary):
         from pocket_tts_tpu import cli
