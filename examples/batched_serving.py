@@ -39,5 +39,13 @@ dt = time.perf_counter() - t0
 total = sum(r.size for r in results) / model.sample_rate
 print(f"{len(texts)} concurrent requests: {total:.2f}s audio in {dt:.2f}s "
       f"({total / dt:.1f}x aggregate realtime)")
+
+# the same thing without threads: generate_batch submits every item up-front
+# and returns results in input order (offline manifests: `cli.py batch`)
+t0 = time.perf_counter()
+batch_results = batcher.generate_batch(texts)
+dt = time.perf_counter() - t0
+print(f"generate_batch: {len(batch_results)} results in {dt:.2f}s "
+      f"(input order, same decode programs)")
 print(f"batcher stats: {batcher.stats()}")
 batcher.stop()
