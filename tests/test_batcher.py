@@ -636,3 +636,34 @@ def test_generate_batch_shared_and_list_voices(model, batcher):
         np.testing.assert_allclose(got, want, atol=1e-4)
     with pytest.raises(ValueError, match="voices has 1"):
         batcher.generate_batch(texts, voices=[vs])
+
+
+def test_generate_batch_many_items_soak(model, batcher):
+    """n >> batch_size with interleaved failures and collect=False: results
+    keep input order, audio slots are dropped after on_result, failed items
+    stay failed, and every slot is reclaimed (no leaked active requests)."""
+    n = 12
+    texts = [f"Soak item number {i}." if i % 4 != 2 else "   "
+             for i in range(n)]
+    order = []
+
+    def on_result(i, res):
+        order.append(i)
+        if i % 4 == 2:
+            assert isinstance(res, ValueError), i
+        else:
+            assert isinstance(res, np.ndarray) and res.size > 0, i
+
+    results = batcher.generate_batch(texts, return_exceptions=True,
+                                     on_result=on_result, collect=False)
+    assert order == list(range(n))
+    for i, r in enumerate(results):
+        if i % 4 == 2:
+            assert isinstance(r, ValueError), i
+        else:
+            assert r is None, i  # collect=False dropped the audio
+    st = batcher.stats()
+    assert st["active_requests"] == 0
+    # the batcher is still healthy afterwards
+    again = batcher.generate("Post-soak sanity utterance.")
+    assert again.size > 0
