@@ -7,13 +7,16 @@ Alternates passes between policy variants (to average out transport weather):
 Usage (real TPU): python bench/stagger_probe.py [passes_per_variant]
 """
 
+import os
 import random
 import sys
 import time
 
-sys.path.insert(0, ".")  # run from repo root
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for pocket_tts_tpu
+sys.path.insert(0, _HERE)  # bench/ itself: root bench.py shadows the package name
 
-from bench.stagger_common import p50_p90, print_summary, staggered_pass
+from stagger_common import p50_p90, print_summary, staggered_pass
 
 
 def main():

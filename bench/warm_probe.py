@@ -5,13 +5,16 @@ warm chunk then cost a fetch-behind-dispatch ride; now it doesn't).
 Usage (real TPU): python bench/warm_probe.py [passes_per_variant]
 """
 
+import os
 import random
 import sys
 import time
 
-sys.path.insert(0, ".")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for pocket_tts_tpu
+sys.path.insert(0, _HERE)  # bench/ itself: root bench.py shadows the package name
 
-from bench.stagger_common import p50_p90, print_summary, staggered_pass
+from stagger_common import p50_p90, print_summary, staggered_pass
 
 
 def main():
