@@ -279,6 +279,10 @@ def main():
     # HBM stream of the AR step at 8 bits
     variant_leg("int8_fp8_x", "int8 weights + fp8 KV", transform=_quantize,
                 kv_dtype="float8_e4m3")
+    # all-in: the two device levers plus the mulaw wire format (halves the
+    # device->host fetch bytes too) — the fastest-possible opt-in stack
+    variant_leg("int8_fp8_mulaw_x", "int8 + fp8 KV + mulaw", transform=_quantize,
+                kv_dtype="float8_e4m3", transport_format="mulaw")
 
     # Tunnel weather moves in minutes-scale phases (docs/performance.md), so
     # a tight cluster of 5 early runs can all land in a slow phase.  Sample
@@ -302,7 +306,8 @@ def main():
     print("=== serving summary ===", file=sys.stderr)
     for k in ("first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
               "batched_stream_p50_ms", "batched_stream_p90_ms", "int8_x",
-              "kv_fp8_x", "mulaw_x", "int8_fp8_x", "single_p50_late_x"):
+              "kv_fp8_x", "mulaw_x", "int8_fp8_x", "int8_fp8_mulaw_x",
+              "single_p50_late_x"):
         print(f"{k}: {extra.get(k, 'FAILED')}", file=sys.stderr)
 
     print(json.dumps({
