@@ -24,6 +24,9 @@ def _add_gen_params(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quantized", action="store_true",
                    help="int8 weight quantization")
+    p.add_argument("--finetuned", default=None, metavar="PATH",
+                   help="load a fine-tuned FlowLM checkpoint "
+                        "(written by the finetune command)")
 
 
 def _load_model(args):
@@ -34,6 +37,10 @@ def _load_model(args):
         noise_clamp=args.noise_clamp, eos_threshold=args.eos_threshold,
         seed=args.seed,
     )
+    if getattr(args, "finetuned", None):
+        from pocket_tts_tpu.training import apply_finetuned
+
+        model = apply_finetuned(model, args.finetuned)
     if getattr(args, "quantized", False):
         from pocket_tts_tpu.runtime.quantize import quantize_model
 
@@ -241,6 +248,77 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_finetune(args) -> int:
+    """Fine-tune the FlowLM on (text, audio) pairs and write a checkpoint
+    artifact (training/ subsystem; the reference is inference-only).  Load the
+    result with --finetuned on generate/batch/serve."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pocket_tts_tpu import audio as audio_io
+    from pocket_tts_tpu.training import finetune, save_finetuned_params
+
+    manifest_dir = Path(args.manifest).parent
+    entries = []  # (text, audio path)
+    with open(args.manifest, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            try:
+                obj = json.loads(line)
+                text, apath = obj["text"], obj["audio"]
+            except (json.JSONDecodeError, KeyError, TypeError) as e:
+                print(f"{args.manifest}:{lineno}: need JSONL "
+                      f'{{"text": ..., "audio": ...}} ({e})', file=sys.stderr)
+                return 2
+            entries.append((text, Path(apath)
+                            if Path(apath).is_absolute()
+                            else manifest_dir / apath))
+    if not entries:
+        print(f"{args.manifest}: no training pairs", file=sys.stderr)
+        return 2
+
+    model = _load_model(args)
+
+    def load_mono(path) -> np.ndarray:
+        wav, sr = audio_io.read_wav(path)
+        mono = wav.mean(axis=0)
+        if sr != model.sample_rate:
+            mono = audio_io.resample(mono, sr, model.sample_rate)
+        return mono
+
+    try:
+        pairs = [(text, load_mono(p)) for text, p in entries]
+        voice_wav = load_mono(args.voice_wav) if args.voice_wav else None
+    except (OSError, ValueError) as e:
+        print(f"cannot read training audio: {e}", file=sys.stderr)
+        return 2
+
+    t0 = time.time()
+    tuned = finetune(
+        model, pairs, steps=args.steps, batch_size=args.batch_size,
+        lr=args.lr, weight_decay=args.weight_decay, clip_norm=args.clip_norm,
+        warmup_steps=args.warmup_steps, eos_weight=args.eos_weight,
+        voice_wav=voice_wav, max_tokens=args.max_tokens, seed=args.seed,
+        log_every=args.log_every)
+    save_finetuned_params(tuned.params["flow_lm"], args.output)
+    m = tuned._finetune_metrics
+    print(f"wrote {args.output}: {len(pairs)} pairs x {args.steps} steps in "
+          f"{time.time() - t0:.1f}s, final loss {m.get('loss', float('nan')):.4f} "
+          f"(flow {m.get('flow_mse', float('nan')):.4f} "
+          f"eos {m.get('eos_bce', float('nan')):.4f})", file=sys.stderr)
+    if args.sample_text:
+        wav = tuned.generate(args.sample_text)
+        sample = Path(args.output).with_suffix(".sample.wav")
+        audio_io.write_wav(sample, np.asarray(wav), model.sample_rate)
+        print(f"wrote {sample}: fine-tuned sample "
+              f"({wav.size / model.sample_rate:.2f}s)", file=sys.stderr)
+    return 0
+
+
 def cmd_fleet(args) -> int:
     from pocket_tts_tpu.server.fleet import serve_fleet
 
@@ -307,6 +385,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "(docs/performance.md); int8 is the serving path")
     _add_gen_params(q)
     q.set_defaults(fn=cmd_quantize)
+
+    t = sub.add_parser("finetune", help="fine-tune the FlowLM on (text, audio) "
+                       "pairs and write a checkpoint artifact")
+    t.add_argument("--manifest", required=True,
+                   help='JSONL lines {"text": ..., "audio": "path.wav"}; '
+                        "relative paths resolve against the manifest")
+    t.add_argument("--output", "-o", default="model.finetuned.safetensors")
+    t.add_argument("--steps", type=int, default=200)
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--weight-decay", type=float, default=0.01)
+    t.add_argument("--clip-norm", type=float, default=1.0)
+    t.add_argument("--warmup-steps", type=int, default=10)
+    t.add_argument("--eos-weight", type=float, default=1.0)
+    t.add_argument("--max-tokens", type=int, default=None,
+                   help="clip each example's text to this many tokens")
+    t.add_argument("--voice-wav", default=None, metavar="PATH",
+                   help="shared speaker prompt prepended to every example "
+                        "(voice-cloning fine-tune)")
+    t.add_argument("--log-every", type=int, default=25)
+    t.add_argument("--sample-text", default=None,
+                   help="synthesize this text with the tuned model to "
+                        "<output>.sample.wav")
+    _add_gen_params(t)
+    t.set_defaults(fn=cmd_finetune)
 
     f = sub.add_parser("fleet", help="route requests over N serve workers "
                        "(one per chip)")

@@ -253,6 +253,53 @@ class TestCLI:
         data = capfdbinary.readouterr().out
         assert len(data) > 0 and len(data) % 2 == 0
 
+    def test_finetune_command_and_finetuned_flag(self, model, tmp_path,
+                                                 monkeypatch):
+        """`finetune` trains on a JSONL manifest of (text, audio) pairs,
+        writes the artifact + a sample WAV, and `generate --finetuned` loads
+        it through the REAL _load_model wiring (load_with_params patched to
+        the small fixture model; --finetuned / --quantized layering runs)."""
+        from pocket_tts_tpu import audio as audio_io, cli
+
+        rng = np.random.default_rng(0)
+        for name in ("a.wav", "b.wav"):
+            wav = (rng.normal(size=model.sample_rate // 2) * 0.1
+                   ).astype(np.float32)
+            audio_io.write_wav(tmp_path / name, wav, model.sample_rate)
+        manifest = tmp_path / "pairs.jsonl"
+        manifest.write_text(
+            '{"text": "first pair", "audio": "a.wav"}\n'
+            "# comment\n"
+            '{"text": "second pair", "audio": "b.wav"}\n', encoding="utf-8")
+
+        monkeypatch.setattr(
+            TTSModel, "load_with_params",
+            classmethod(lambda cls_, *a, **k: model))
+        art = tmp_path / "tuned.safetensors"
+        rc = cli.main(["finetune", "--manifest", str(manifest),
+                       "--output", str(art), "--steps", "2",
+                       "--batch-size", "2", "--log-every", "0",
+                       "--sample-text", "tuned sample"])
+        assert rc == 0 and art.exists()
+        with wave.open(str(tmp_path / "tuned.sample.wav"), "rb") as f:
+            assert f.getnframes() > 0
+
+        out = tmp_path / "gen.wav"
+        rc = cli.main(["generate", "--text", "With tuned weights.",
+                       "--finetuned", str(art), "--output", str(out),
+                       "--quiet"])
+        assert rc == 0
+        with wave.open(str(out), "rb") as f:
+            assert f.getnframes() > 0
+
+        # manifest error paths: bad JSONL and unreadable audio exit 2
+        bad = tmp_path / "bad.jsonl"
+        bad.write_text('{"text": "no audio key"}\n', encoding="utf-8")
+        assert cli.main(["finetune", "--manifest", str(bad)]) == 2
+        bad.write_text('{"text": "x", "audio": "missing.wav"}\n',
+                       encoding="utf-8")
+        assert cli.main(["finetune", "--manifest", str(bad)]) == 2
+
 
 def test_generate_continuation_param(client):
     """continuation_frames is accepted over HTTP and changes the audio of a
