@@ -25,8 +25,8 @@ def _add_gen_params(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantized", action="store_true",
                    help="int8 weight quantization")
     p.add_argument("--finetuned", default=None, metavar="PATH",
-                   help="load a fine-tuned FlowLM checkpoint "
-                        "(written by the finetune command)")
+                   help="load a fine-tuned FlowLM checkpoint or LoRA adapter "
+                        "(written by the finetune command; kind auto-detected)")
 
 
 def _load_model(args):
@@ -38,9 +38,9 @@ def _load_model(args):
         seed=args.seed,
     )
     if getattr(args, "finetuned", None):
-        from pocket_tts_tpu.training import apply_finetuned
+        from pocket_tts_tpu.training import apply_adapted
 
-        model = apply_finetuned(model, args.finetuned)
+        model = apply_adapted(model, args.finetuned)
     if getattr(args, "quantized", False):
         from pocket_tts_tpu.runtime.quantize import quantize_model
 
@@ -258,7 +258,8 @@ def cmd_finetune(args) -> int:
     import numpy as np
 
     from pocket_tts_tpu import audio as audio_io
-    from pocket_tts_tpu.training import finetune, save_finetuned_params
+    from pocket_tts_tpu.training import (finetune, save_finetuned_params,
+                                         save_lora_params)
 
     manifest_dir = Path(args.manifest).parent
     entries = []  # (text, audio path)
@@ -303,11 +304,19 @@ def cmd_finetune(args) -> int:
         lr=args.lr, weight_decay=args.weight_decay, clip_norm=args.clip_norm,
         warmup_steps=args.warmup_steps, eos_weight=args.eos_weight,
         voice_wav=voice_wav, max_tokens=args.max_tokens, seed=args.seed,
-        log_every=args.log_every)
-    save_finetuned_params(tuned.params["flow_lm"], args.output)
+        log_every=args.log_every, lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha)
+    if args.lora_rank > 0:
+        factors, rank, alpha = tuned._lora
+        save_lora_params(factors, args.output, rank=rank, alpha=alpha)
+        kind = f"rank-{rank} LoRA adapter"
+    else:
+        save_finetuned_params(tuned.params["flow_lm"], args.output)
+        kind = "full FlowLM checkpoint"
     m = tuned._finetune_metrics
-    print(f"wrote {args.output}: {len(pairs)} pairs x {args.steps} steps in "
-          f"{time.time() - t0:.1f}s, final loss {m.get('loss', float('nan')):.4f} "
+    print(f"wrote {args.output} ({kind}): {len(pairs)} pairs x {args.steps} "
+          f"steps in {time.time() - t0:.1f}s, "
+          f"final loss {m.get('loss', float('nan')):.4f} "
           f"(flow {m.get('flow_mse', float('nan')):.4f} "
           f"eos {m.get('eos_bce', float('nan')):.4f})", file=sys.stderr)
     if args.sample_text:
@@ -399,6 +408,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--clip-norm", type=float, default=1.0)
     t.add_argument("--warmup-steps", type=int, default=10)
     t.add_argument("--eos-weight", type=float, default=1.0)
+    t.add_argument("--lora-rank", type=int, default=0, metavar="R",
+                   help="train a rank-R LoRA adapter instead of the full "
+                        "FlowLM (tiny artifact; 0 = full fine-tune)")
+    t.add_argument("--lora-alpha", type=float, default=None,
+                   help="LoRA scale numerator (delta = alpha/R * B@A; "
+                        "default R, i.e. scale 1)")
     t.add_argument("--max-tokens", type=int, default=None,
                    help="clip each example's text to this many tokens")
     t.add_argument("--voice-wav", default=None, metavar="PATH",

@@ -14,7 +14,16 @@ from pocket_tts_tpu.training.data import (
     make_batch,
 )
 from pocket_tts_tpu.training.loss import flow_matching_loss
+from pocket_tts_tpu.training.lora import (
+    apply_lora,
+    init_lora,
+    load_lora_params,
+    make_lora_train_step,
+    merge_lora,
+    save_lora_params,
+)
 from pocket_tts_tpu.training.trainer import (
+    apply_adapted,
     apply_finetuned,
     finetune,
     load_finetuned_params,
@@ -32,8 +41,15 @@ __all__ = [
     "make_optimizer",
     "make_train_step",
     "finetune",
+    "apply_adapted",
     "apply_finetuned",
     "shard_batch",
     "save_finetuned_params",
     "load_finetuned_params",
+    "init_lora",
+    "merge_lora",
+    "make_lora_train_step",
+    "apply_lora",
+    "save_lora_params",
+    "load_lora_params",
 ]

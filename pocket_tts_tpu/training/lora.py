@@ -1,0 +1,192 @@
+"""LoRA adapters for the fine-tuning subsystem (TPU-native extension; the
+reference is inference-only, so there is no counterpart to cite).
+
+Low-Rank Adaptation (Hu et al., arXiv 2106.09685): instead of updating a
+weight ``W [out, in]`` directly, train a rank-r delta ``B @ A`` (``A [r, in]``
+init ~N(0, 1/r), ``B [out, r]`` init 0 — the adapter starts as an exact
+no-op) and serve ``W + (alpha/r) * B @ A``.  Two production wins over full
+fine-tuning here:
+
+* **Artifact size** — the flagship backbone is ~150 MB; a rank-8 adapter over
+  its attention + FFN matrices is ~2 MB, so per-speaker voices become cheap
+  to store and ship.
+* **Optimizer memory / step cost** — AdamW state covers only the factors, and
+  the donated train step updates ~1% of the parameters per step.
+
+TPU mapping: this repo stacks transformer layers along a leading axis
+(``tf/ff1 [L, hidden, d]``, ``tf/in_proj [L, 3, d, d]`` — models/transformer.py
+scans over it), so the factors carry the same leading axes as batch dims and
+one einsum (``...or,...ri->...oi``) materializes every layer's delta in a
+single MXU-friendly contraction — no per-layer Python loop, and the merged
+tree is identical in structure to the base, so the inference engine and the
+int8 quantizer run on it unchanged.
+
+The train step takes the FROZEN base params as a jit *argument* (never a
+closure — 90 MB of constants would inline into the HLO and the axon tunnel
+rejects the body, see CLAUDE.md) and donates only the factors + optimizer
+state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Backbone attention + FFN matrices: the standard LoRA target set, and ~95%
+# of the FlowLM's trainable bytes.  Paths are _flatten_paths keys into
+# params["flow_lm"]; selection is by exact match.
+LORA_DEFAULT_TARGETS = ("tf/in_proj", "tf/out_proj", "tf/ff1", "tf/ff2")
+
+LORA_FORMAT = "pocket-tts-tpu-lora"
+
+
+def _flatten(params: dict):
+    from pocket_tts_tpu.runtime.quantize import _flatten_paths
+
+    return _flatten_paths(params)
+
+
+def init_lora(
+    params: dict,
+    rank: int,
+    *,
+    targets: tuple[str, ...] = LORA_DEFAULT_TARGETS,
+    seed: int = 0,
+) -> dict:
+    """Factor tree ``{path: {"a": [*lead, r, in], "b": [*lead, out, r]}}``
+    over ``params`` (a FlowLM subtree).  ``b`` starts at zero so the merged
+    model is bitwise the base model before the first step."""
+    if rank < 1:
+        raise ValueError(f"LoRA rank must be >= 1, got {rank}")
+    available = dict(_flatten(params))
+    missing = [t for t in targets if t not in available]
+    if missing:
+        raise ValueError(f"LoRA targets not in params: {missing}; "
+                         f"known paths include {sorted(available)[:8]}...")
+    rng = np.random.default_rng(seed)
+    lora: dict = {}
+    for path in targets:
+        w = np.asarray(available[path])
+        if w.ndim < 2:
+            raise ValueError(f"LoRA target {path} is not a matrix: {w.shape}")
+        *lead, out, inn = w.shape
+        a = rng.normal(0.0, 1.0 / rank, size=(*lead, rank, inn))
+        lora[path] = {"a": jnp.asarray(a, jnp.float32),
+                      "b": jnp.zeros((*lead, out, rank), jnp.float32)}
+    return lora
+
+
+def lora_delta(factors: dict, scale: float) -> jnp.ndarray:
+    """``scale * B @ A`` with leading layer axes as batch dims."""
+    return scale * jnp.einsum("...or,...ri->...oi",
+                              factors["b"].astype(jnp.float32),
+                              factors["a"].astype(jnp.float32))
+
+
+def merge_lora(params: dict, lora: dict, *, alpha: float, rank: int) -> dict:
+    """Base + deltas, same tree structure/dtypes as ``params`` (jit-safe;
+    untargeted leaves pass through by reference)."""
+    scale = alpha / rank
+    flat = dict(_flatten(params))
+    merged = {path: (flat[path].astype(jnp.float32)
+                     + lora_delta(f, scale)).astype(flat[path].dtype)
+              for path, f in lora.items()}
+
+    def rebuild(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in node.items()}
+        if isinstance(node, list):
+            return [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(node)]
+        return merged.get(prefix[:-1], node)
+
+    return rebuild(params)
+
+
+def make_lora_train_step(cfg, optimizer, *, alpha: float, rank: int,
+                         eos_weight: float = 1.0,
+                         consistency_weight: float = 0.0):
+    """Fused LoRA update: gradients flow through the merge into the factors
+    only; the base tree is a frozen input (non-donated — it is the caller's
+    live model params)."""
+    from functools import partial
+
+    from pocket_tts_tpu.training.loss import flow_matching_loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(lora: dict, opt_state, base: dict, batch: dict,
+                   key: jax.Array):
+        def loss_fn(lo):
+            merged = merge_lora(base, lo, alpha=alpha, rank=rank)
+            return flow_matching_loss(
+                merged, cfg, batch, key,
+                eos_weight=eos_weight, consistency_weight=consistency_weight)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora)
+        import optax
+
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        del loss
+        return lora, opt_state, metrics
+
+    return train_step
+
+
+# --------------------------------------------------------------------------
+# Adapter artifacts: ~2 MB per voice at flagship dims instead of ~300 MB.
+# --------------------------------------------------------------------------
+
+def save_lora_params(lora: dict, path, *, rank: int, alpha: float) -> None:
+    """Persist a factor tree from :func:`init_lora` / the trainer."""
+    from safetensors.numpy import save_file
+
+    tensors = {}
+    for tpath, f in lora.items():
+        tensors[f"{tpath}/a"] = np.asarray(jax.device_get(f["a"]), np.float32)
+        tensors[f"{tpath}/b"] = np.asarray(jax.device_get(f["b"]), np.float32)
+    save_file(tensors, str(path),
+              metadata={"format": LORA_FORMAT, "rank": str(rank),
+                        "alpha": repr(float(alpha))})
+
+
+def load_lora_params(path) -> tuple[dict, int, float]:
+    """Returns ``(factor tree, rank, alpha)`` from a saved adapter."""
+    from safetensors import safe_open
+
+    lora: dict = {}
+    with safe_open(str(path), framework="numpy") as f:
+        meta = f.metadata() or {}
+        if meta.get("format") != LORA_FORMAT:
+            raise ValueError(f"{path} is not a {LORA_FORMAT} adapter")
+        rank, alpha = int(meta["rank"]), float(meta["alpha"])
+        for k in f.keys():
+            tpath, leaf = k.rsplit("/", 1)
+            lora.setdefault(tpath, {})[leaf] = jnp.asarray(f.get_tensor(k))
+    for tpath, fac in lora.items():
+        if set(fac) != {"a", "b"}:
+            raise ValueError(f"{path}: target {tpath} missing a/b factors")
+    return lora, rank, alpha
+
+
+def apply_lora(model, path):
+    """Clone ``model`` with the adapter merged into its FlowLM — inference
+    runs the ordinary dense path (zero adapter overhead per step)."""
+    from pocket_tts_tpu.runtime.engine import Engine
+    from pocket_tts_tpu.tts import TTSModel
+
+    lora, rank, alpha = load_lora_params(path)
+    new_params = dict(model.params)
+    new_params["flow_lm"] = jax.jit(
+        lambda base, lo: merge_lora(base, lo, alpha=alpha, rank=rank)
+    )(model.params["flow_lm"], lora)
+    clone = object.__new__(TTSModel)
+    clone.__dict__.update(model.__dict__)
+    clone.params = new_params
+    clone.engine = Engine(model.config, new_params,
+                          batch_size=model.engine.batch)
+    if getattr(model.engine, "_codec_device", None) is not None:
+        clone.engine.enable_staged_codec(model.engine._codec_device)
+    return clone

@@ -120,12 +120,20 @@ def finetune(
     seed: int = 0,
     log_every: int = 25,
     mesh=None,
+    lora_rank: int = 0,
+    lora_alpha: float | None = None,
+    lora_targets: tuple[str, ...] | None = None,
 ):
     """Fine-tune ``model`` on (text, waveform) pairs; returns a new TTSModel.
 
     All examples are padded to ONE global shape and minibatches are row
     slices of it (constant shapes -> exactly one compiled train step; a
     ragged last minibatch would recompile, so sampling wraps around).
+
+    ``lora_rank > 0`` switches to LoRA (training/lora.py): only rank-r
+    factors over ``lora_targets`` train (base frozen); the returned model has
+    the adapter merged in, and ``._lora = (factors, rank, alpha)`` is attached
+    for :func:`save_lora_params` (~2 MB artifacts at flagship dims).
     """
     from pocket_tts_tpu.runtime.engine import Engine
     from pocket_tts_tpu.tts import TTSModel
@@ -137,19 +145,39 @@ def finetune(
     optimizer = make_optimizer(lr, weight_decay=weight_decay,
                                clip_norm=clip_norm, warmup_steps=warmup_steps,
                                total_steps=steps)
-    train_step = make_train_step(model.config, optimizer,
-                                 eos_weight=eos_weight,
-                                 consistency_weight=consistency_weight)
+    use_lora = lora_rank > 0
+    if use_lora:
+        from pocket_tts_tpu.training.lora import (
+            LORA_DEFAULT_TARGETS, init_lora, make_lora_train_step, merge_lora)
+
+        alpha = float(lora_alpha if lora_alpha is not None else lora_rank)
+        targets = tuple(lora_targets or LORA_DEFAULT_TARGETS)
+        train_step = make_lora_train_step(
+            model.config, optimizer, alpha=alpha, rank=lora_rank,
+            eos_weight=eos_weight, consistency_weight=consistency_weight)
+    else:
+        train_step = make_train_step(model.config, optimizer,
+                                     eos_weight=eos_weight,
+                                     consistency_weight=consistency_weight)
 
     # jnp.array COPIES (jnp.asarray would alias): the train step donates its
     # params input, and donating aliased buffers would delete the live
-    # model.params out from under the caller
-    params = jax.tree.map(lambda a: jnp.array(a, jnp.float32)
-                          if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
-                          else jnp.array(a), model.params["flow_lm"])
-    if mesh is not None:
-        from pocket_tts_tpu.parallel.mesh import shard_params
-        params = shard_params(params, mesh)
+    # model.params out from under the caller.  LoRA keeps the base frozen
+    # (non-donated jit argument), so aliasing it is safe — only the small
+    # factor tree is fresh/donated.
+    if use_lora:
+        base = jax.tree.map(jnp.asarray, model.params["flow_lm"])
+        if mesh is not None:
+            from pocket_tts_tpu.parallel.mesh import shard_params
+            base = shard_params(base, mesh)
+        params = init_lora(base, lora_rank, targets=targets, seed=seed)
+    else:
+        params = jax.tree.map(lambda a: jnp.array(a, jnp.float32)
+                              if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                              else jnp.array(a), model.params["flow_lm"])
+        if mesh is not None:
+            from pocket_tts_tpu.parallel.mesh import shard_params
+            params = shard_params(params, mesh)
     opt_state = jax.jit(optimizer.init)(params)
 
     rng = np.random.default_rng(seed)
@@ -167,8 +195,12 @@ def finetune(
         mb = _slice_batch(full, idx)
         mb = shard_batch(mb, mesh) if mesh is not None else {
             k: jnp.asarray(v) for k, v in mb.items()}
-        params, opt_state, metrics = train_step(
-            params, opt_state, mb, jax.random.fold_in(key, step))
+        if use_lora:
+            params, opt_state, metrics = train_step(
+                params, opt_state, base, mb, jax.random.fold_in(key, step))
+        else:
+            params, opt_state, metrics = train_step(
+                params, opt_state, mb, jax.random.fold_in(key, step))
         if log_every and (step % log_every == 0 or step == steps - 1):
             last = {k: float(v) for k, v in jax.device_get(metrics).items()}
             logger.info("step %d/%d loss %.4f (flow %.4f eos %.4f) grad %.3f [%.1fs]",
@@ -176,8 +208,13 @@ def finetune(
                         last["eos_bce"], last["grad_norm"], time.time() - t0)
 
     new_params = dict(model.params)
+    if use_lora:
+        tuned = jax.jit(lambda b, lo: merge_lora(b, lo, alpha=alpha,
+                                                 rank=lora_rank))(base, params)
+    else:
+        tuned = params
     new_params["flow_lm"] = jax.tree.map(
-        lambda a: jax.device_get(a) if mesh is not None else a, params)
+        lambda a: jax.device_get(a) if mesh is not None else a, tuned)
     new_params["flow_lm"] = jax.tree.map(jnp.asarray, new_params["flow_lm"])
 
     clone = object.__new__(TTSModel)
@@ -188,6 +225,8 @@ def finetune(
     if getattr(model.engine, "_codec_device", None) is not None:
         clone.engine.enable_staged_codec(model.engine._codec_device)
     clone._finetune_metrics = last
+    if use_lora:
+        clone._lora = (jax.tree.map(jax.device_get, params), lora_rank, alpha)
     return clone
 
 
@@ -223,6 +262,25 @@ def load_finetuned_params(path) -> dict:
         for k in f.keys():
             items[k] = jnp.asarray(f.get_tensor(k))
     return _unflatten_paths(items)
+
+
+def apply_adapted(model, path):
+    """Load either artifact kind by sniffing its safetensors ``format``
+    metadata: a full fine-tuned FlowLM (:func:`save_finetuned_params`) or a
+    LoRA adapter (lora.save_lora_params) — the ``--finetuned`` CLI flag and
+    server loaders accept both through this one entry point."""
+    from safetensors import safe_open
+
+    with safe_open(str(path), framework="numpy") as f:
+        fmt = (f.metadata() or {}).get("format")
+    if fmt == FINETUNED_FORMAT:
+        return apply_finetuned(model, path)
+    from pocket_tts_tpu.training.lora import LORA_FORMAT, apply_lora
+
+    if fmt == LORA_FORMAT:
+        return apply_lora(model, path)
+    raise ValueError(f"{path}: unknown checkpoint format {fmt!r} (expected "
+                     f"{FINETUNED_FORMAT} or {LORA_FORMAT})")
 
 
 def apply_finetuned(model, path):

@@ -292,6 +292,19 @@ class TestCLI:
         with wave.open(str(out), "rb") as f:
             assert f.getnframes() > 0
 
+        # LoRA path: tiny adapter artifact, loads through the same --finetuned
+        lart = tmp_path / "tuned.lora.safetensors"
+        rc = cli.main(["finetune", "--manifest", str(manifest),
+                       "--output", str(lart), "--steps", "2",
+                       "--batch-size", "2", "--log-every", "0",
+                       "--lora-rank", "2"])
+        assert rc == 0 and lart.exists()
+        assert lart.stat().st_size < art.stat().st_size / 2
+        rc = cli.main(["generate", "--text", "With a LoRA adapter.",
+                       "--finetuned", str(lart), "--output", str(out),
+                       "--quiet"])
+        assert rc == 0
+
         # manifest error paths: bad JSONL and unreadable audio exit 2
         bad = tmp_path / "bad.jsonl"
         bad.write_text('{"text": "no audio key"}\n', encoding="utf-8")

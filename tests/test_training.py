@@ -173,6 +173,116 @@ def test_finetune_e2e_and_artifact_roundtrip(model, tmp_path):
         load_finetuned_params(bad)
 
 
+class TestLoRA:
+    """LoRA adapters (training/lora.py): exact no-op at init, factor-only
+    training, tiny-artifact round-trip, and the --finetuned format dispatch."""
+
+    def test_init_is_exact_noop(self, model):
+        from pocket_tts_tpu.training import init_lora, merge_lora
+
+        base = model.params["flow_lm"]
+        lora = init_lora(base, rank=2, seed=1)
+        merged = merge_lora(base, lora, alpha=2.0, rank=2)
+        for (pa, a), (pb, b) in zip(_flat(base), _flat(merged)):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # identical loss through the merge (b factors start at zero)
+        batch, key = to_device(synthetic_batch()), jax.random.PRNGKey(0)
+        l0, _ = jax.jit(lambda p, b, k: flow_matching_loss(p, CFG, b, k))(
+            base, batch, key)
+        l1, _ = jax.jit(
+            lambda p, lo, b, k: flow_matching_loss(
+                merge_lora(p, lo, alpha=2.0, rank=2), CFG, b, k)
+        )(base, lora, batch, key)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+
+    def test_training_moves_targets_only(self, model):
+        from pocket_tts_tpu.training import (
+            init_lora, make_lora_train_step, merge_lora)
+        from pocket_tts_tpu.training.lora import LORA_DEFAULT_TARGETS
+
+        opt = make_optimizer(2e-3)
+        step = make_lora_train_step(CFG, opt, alpha=4.0, rank=4)
+        base = copy_tree(model.params["flow_lm"])
+        base_snapshot = copy_tree(base)
+        lora = init_lora(base, rank=4, seed=2)
+        opt_state = jax.jit(opt.init)(lora)
+        batch = to_device(synthetic_batch())
+        key = jax.random.PRNGKey(5)
+        first = None
+        for i in range(40):
+            lora, opt_state, metrics = step(lora, opt_state, base, batch,
+                                            jax.random.fold_in(key, i))
+            if first is None:
+                first = float(jax.device_get(metrics)["loss"])
+        last = float(jax.device_get(metrics)["loss"])
+        assert np.isfinite(last) and last < first * 0.9
+        # the frozen base never moved (non-donated input)
+        for (_, a), (_, b) in zip(_flat(base_snapshot), _flat(base)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # merged differs from base exactly on the target set
+        merged = merge_lora(base, lora, alpha=4.0, rank=4)
+        for (path, a), (_, b) in zip(_flat(base), _flat(merged)):
+            same = np.allclose(np.asarray(a), np.asarray(b))
+            assert same != (path in LORA_DEFAULT_TARGETS), path
+
+    def test_finetune_lora_artifact_and_dispatch(self, model, tmp_path):
+        from pocket_tts_tpu.training import (
+            apply_adapted, load_lora_params, save_lora_params)
+
+        rng = np.random.default_rng(6)
+        pairs = [("lora one", rng.normal(size=(2 * 1920,)).astype(np.float32) * 0.1),
+                 ("lora two", rng.normal(size=(2 * 1920,)).astype(np.float32) * 0.1)]
+        tuned = finetune(model, pairs, steps=3, batch_size=2, lr=2e-3,
+                         log_every=0, lora_rank=2)
+        factors, rank, alpha = tuned._lora
+        assert rank == 2 and alpha == 2.0
+        audio = tuned.generate("hi")
+        assert audio.size > 0 and np.isfinite(audio).all()
+
+        # the adapter artifact is FAR smaller than the full checkpoint
+        lpath, fpath = tmp_path / "v.lora.safetensors", tmp_path / "v.full.safetensors"
+        save_lora_params(factors, lpath, rank=rank, alpha=alpha)
+        save_finetuned_params(tuned.params["flow_lm"], fpath)
+        assert lpath.stat().st_size < fpath.stat().st_size / 2
+
+        loaded, r2, a2 = load_lora_params(lpath)
+        assert (r2, a2) == (rank, alpha)
+        np.testing.assert_allclose(
+            np.asarray(loaded["tf/ff1"]["a"]),
+            np.asarray(factors["tf/ff1"]["a"]), rtol=1e-6)
+
+        # apply_adapted dispatches on format metadata for BOTH kinds and
+        # reproduces the tuned params exactly
+        via_lora = apply_adapted(model, lpath)
+        for (pa, a), (_, b) in zip(_flat(tuned.params["flow_lm"]),
+                                   _flat(via_lora.params["flow_lm"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=pa)
+        via_full = apply_adapted(model, fpath)
+        assert via_full.generate("hi").size > 0
+
+        from safetensors.numpy import save_file
+        bad = tmp_path / "bad.safetensors"
+        save_file({"x": np.zeros((1,), np.float32)}, str(bad))
+        with pytest.raises(ValueError, match="unknown checkpoint format"):
+            apply_adapted(model, bad)
+
+    def test_init_validation(self, model):
+        from pocket_tts_tpu.training import init_lora
+
+        with pytest.raises(ValueError, match="rank"):
+            init_lora(model.params["flow_lm"], rank=0)
+        with pytest.raises(ValueError, match="not in params"):
+            init_lora(model.params["flow_lm"], rank=2, targets=("tf/nope",))
+
+
+def _flat(tree):
+    from pocket_tts_tpu.runtime.quantize import _flatten_paths
+
+    return _flatten_paths(tree)
+
+
 def test_sharded_train_step_matches_single_device(model):
     """dp x tp sharded step == unsharded step (GSPMD inserts the grad
     reductions; jax.random is sharding-invariant by (key, shape))."""
