@@ -277,6 +277,36 @@ class TestLoRA:
             init_lora(model.params["flow_lm"], rank=2, targets=("tf/nope",))
 
 
+    def test_sharded_lora_step_matches_single_device(self, model):
+        """LoRA step over the dp x tp mesh == unsharded: base tp-sharded,
+        factors replicated, batch dp-sharded; GSPMD reduces factor grads."""
+        from pocket_tts_tpu.parallel.mesh import make_mesh, shard_params
+        from pocket_tts_tpu.training import init_lora, make_lora_train_step
+
+        opt = make_optimizer(1e-3)
+        step = make_lora_train_step(CFG, opt, alpha=2.0, rank=2)
+        batch_np = synthetic_batch(seed=8, b=4)
+        key = jax.random.PRNGKey(9)
+        base = model.params["flow_lm"]
+
+        l_ref = init_lora(base, rank=2, seed=3)
+        s_ref = jax.jit(opt.init)(l_ref)
+        l_ref, _, m_ref = step(l_ref, s_ref, base, to_device(batch_np), key)
+
+        mesh = make_mesh(8, tp=2)
+        b_sh = shard_params(copy_tree(base), mesh)
+        l_sh = init_lora(base, rank=2, seed=3)
+        s_sh = jax.jit(opt.init)(l_sh)
+        l_sh, _, m_sh = step(l_sh, s_sh, b_sh, shard_batch(batch_np, mesh), key)
+
+        np.testing.assert_allclose(float(m_ref["loss"]), float(m_sh["loss"]),
+                                   rtol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(l_ref)),
+                        jax.tree_util.tree_leaves(jax.device_get(l_sh))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
+
 def _flat(tree):
     from pocket_tts_tpu.runtime.quantize import _flatten_paths
 
