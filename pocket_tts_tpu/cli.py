@@ -219,6 +219,14 @@ def cmd_batch(args) -> int:
 def cmd_serve(args) -> int:
     from pocket_tts_tpu.server.app import start_server
 
+    adapters = {}
+    for spec in args.adapter or ():
+        name, sep, path = spec.partition("=")
+        if not sep or not name or not path:
+            print(f"--adapter must be name=path, got {spec!r}", file=sys.stderr)
+            return 2
+        adapters[name] = path
+
     model = _load_model(args)
     start_server(
         model, host=args.host, port=args.port,
@@ -227,6 +235,7 @@ def cmd_serve(args) -> int:
         prewarm=tuple(args.prewarm or ()),
         warmup=not args.no_warmup,
         batch_size=args.batch_size,
+        adapters=adapters or None,
     )
     return 0
 
@@ -383,6 +392,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--no-warmup", action="store_true")
     s.add_argument("--batch-size", type=int, default=0,
                    help=">1 enables continuous-batched serving")
+    s.add_argument("--adapter", action="append", metavar="NAME=PATH",
+                   help="register a fine-tuned checkpoint/LoRA artifact as a "
+                        "request-selectable adapter (repeatable); clients "
+                        'pass {"adapter": NAME}')
     _add_gen_params(s)
     s.set_defaults(fn=cmd_serve)
 

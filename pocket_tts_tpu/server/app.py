@@ -18,10 +18,12 @@ this in the batched serving tier (runtime/batcher.py).
 from __future__ import annotations
 
 import asyncio
+import collections
 import concurrent.futures
 import json
 import logging
 import signal
+import threading
 import time
 
 import numpy as np
@@ -33,15 +35,32 @@ from pocket_tts_tpu.tts import TTSModel
 logger = logging.getLogger(__name__)
 
 
+class AdapterError(ValueError):
+    """Unknown/unloadable adapter name — a client error (400)."""
+
+
 class ServerState:
     def __init__(self, model: TTSModel, *, voice_cache_capacity: int = 8,
                  default_voice: str = voices_mod.DEFAULT_VOICE,
-                 batcher=None):
+                 batcher=None, adapters: dict[str, str] | None = None,
+                 adapter_cache_capacity: int = 2):
         self.model = model
         self.cache = voices_mod.VoiceStateCache(voice_cache_capacity)
         self.default_voice = default_voice
         self.batcher = batcher  # ContinuousBatcher: concurrent requests share
         # one resident decode loop instead of serializing behind self.lock
+        # Fine-tuned voices: name -> checkpoint/LoRA artifact path (CLI
+        # --adapter).  Adapted models build lazily into a small LRU — each
+        # holds its own FlowLM copy in HBM (the Mimi/text subtrees alias the
+        # base), plus a PER-ADAPTER voice-state cache: a VoiceState is a KV
+        # snapshot of the voice prefill THROUGH the adapted backbone, so base
+        # voice states are numerically wrong for an adapted model.
+        self.adapters = dict(adapters or {})
+        self._adapted: collections.OrderedDict[str, tuple] = \
+            collections.OrderedDict()
+        self._adapted_lock = threading.Lock()
+        self._adapter_cap = max(1, adapter_cache_capacity)
+        self._voice_cache_capacity = voice_cache_capacity
         self.lock = asyncio.Lock()
         # each in-flight stream OCCUPIES one worker for its whole duration
         # (the producer runs in the pool), so the pool must cover every
@@ -51,28 +70,67 @@ class ServerState:
         self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
         self.started_at = time.time()
 
-    def resolve(self, spec: str | None):
+    def adapted(self, name: str):
+        """(model, voice_cache) for a registered fine-tuned adapter.
+
+        Builds lazily (checkpoint load + merge + engine — seconds; call off
+        the event loop) into an LRU of ``adapter_cache_capacity``.  Two
+        concurrent misses may build the same adapter twice — the build runs
+        OUTSIDE the lock because it holds device work; the duplicate is
+        benign (last insert wins, the loser is garbage)."""
+        if name not in self.adapters:
+            raise AdapterError(
+                f"unknown adapter {name!r}; registered: "
+                f"{sorted(self.adapters) or 'none'}")
+        with self._adapted_lock:
+            pair = self._adapted.get(name)
+            if pair is not None:
+                self._adapted.move_to_end(name)
+                return pair
+        from pocket_tts_tpu.training import apply_adapted
+
+        try:
+            model = apply_adapted(self.model, self.adapters[name])
+        except (OSError, ValueError) as e:
+            raise AdapterError(f"adapter {name!r} failed to load: {e}") from e
+        pair = (model, voices_mod.VoiceStateCache(self._voice_cache_capacity))
+        with self._adapted_lock:
+            self._adapted[name] = pair
+            self._adapted.move_to_end(name)
+            while len(self._adapted) > self._adapter_cap:
+                evicted, _ = self._adapted.popitem(last=False)
+                logger.info("adapter cache evicted %s", evicted)
+        return pair
+
+    def resolve(self, spec: str | None, *, model: TTSModel | None = None,
+                cache=None):
         """Resolve a voice spec to a VoiceState.
 
         An EXPLICITLY requested voice that fails resolves to a client error
         (VoiceResolutionError -> 400): silently substituting the
         unconditioned state would return 200 with wrong-voice audio.  The
         DEFAULT voice still falls back (offline servers can't fetch the
-        hf:// stock voices; the server must stay usable)."""
+        hf:// stock voices; the server must stay usable).
+
+        ``model``/``cache`` select an adapted model's world — voice prefill
+        runs through its backbone, so states are cached per adapter."""
+        model = model if model is not None else self.model
+        cache = cache if cache is not None else self.cache
         explicit = spec is not None and spec != self.default_voice
         spec = spec or self.default_voice
         try:
-            return voices_mod.resolve_voice_cached(self.model, spec, self.cache)
+            return voices_mod.resolve_voice_cached(model, spec, cache)
         except Exception as e:  # noqa: BLE001
             if explicit:
                 raise voices_mod.VoiceResolutionError(
                     f"voice {spec!r} unresolvable: {e}") from e
             logger.warning("voice %r unresolvable (%s); using unconditioned state",
                            spec, e)
-            return self.model.get_voice_state()
+            return model.get_voice_state()
 
-    def model_with_overrides(self, body: dict) -> TTSModel:
-        return self.model.with_params(
+    def model_with_overrides(self, body: dict,
+                             base: TTSModel | None = None) -> TTSModel:
+        return (base if base is not None else self.model).with_params(
             temp=body.get("temperature"),
             # "lsd_steps" is the reference API field (handlers.rs:89); accept
             # the library's "lsd_decode_steps" spelling as an alias
@@ -103,12 +161,29 @@ def create_app(state: ServerState):
                 text=json.dumps({"error": f"{name} must be an integer"}),
                 content_type="application/json")
 
-    def _model_for(body: dict) -> TTSModel:
+    def _model_for(body: dict, base: TTSModel | None = None) -> TTSModel:
         """Per-request overrides; invalid knob values (lsd_steps < 1,
         negative temperature) are a 400, not a 500 or silent garbage."""
         try:
-            return state.model_with_overrides(body)
+            return state.model_with_overrides(body, base)
         except (ValueError, TypeError) as e:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": str(e)}),
+                content_type="application/json")
+
+    async def _adapted_for(body: dict):
+        """(base model, voice cache) for the request's optional ``adapter``
+        field — a fine-tuned checkpoint/LoRA registered at startup.  The
+        build (load + merge + engine) runs off the event loop; an unknown or
+        broken adapter is a 400."""
+        name = body.get("adapter")
+        if not name:
+            return state.model, state.cache
+        loop = asyncio.get_running_loop()
+        try:
+            return await loop.run_in_executor(
+                state.pool, state.adapted, str(name))
+        except AdapterError as e:
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": str(e)}),
                 content_type="application/json")
@@ -130,13 +205,15 @@ def create_app(state: ServerState):
                 content_type="application/json")
         return body
 
-    async def _resolve_voice(body: dict):
+    async def _resolve_voice(body: dict, base: TTSModel | None = None,
+                             vcache=None):
         """Voice resolution off the event loop (it can run the Mimi encoder —
         seconds of device work); an unresolvable EXPLICIT voice is a 400."""
         loop = asyncio.get_running_loop()
         try:
             return await loop.run_in_executor(
-                state.pool, state.resolve, body.get("voice"))
+                state.pool, lambda: state.resolve(
+                    body.get("voice"), model=base, cache=vcache))
         except voices_mod.VoiceResolutionError as e:
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": str(e)}),
@@ -180,6 +257,8 @@ def create_app(state: ServerState):
             "uptime_s": round(time.time() - state.started_at, 1),
             "real_weights": state.model.has_real_weights,
         }
+        if state.adapters:
+            out["adapters"] = sorted(state.adapters)
         if state.batcher is not None:
             out["batcher"] = state.batcher.stats()
             if out["batcher"].pop("dead"):
@@ -187,20 +266,23 @@ def create_app(state: ServerState):
         return web.json_response(out)
 
     async def _generate_wav(body: dict) -> bytes:
-        model = _model_for(body)
+        base, vcache = await _adapted_for(body)
+        model = _model_for(body, base)
         text = body.get("text") or body.get("input")
         if not text or not str(text).strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
                                      content_type="application/json")
         loop = asyncio.get_running_loop()
-        voice = await _resolve_voice(body)
+        voice = await _resolve_voice(body, base, vcache)
         cont = _int_field(body, "continuation_frames")
         # Occupancy-adaptive routing: a lone request on an idle batched
         # server takes the single-stream engine (~10x faster per stream than
         # one slot of a B=16 batch); concurrent traffic rides the batch.
         # locked() check + `async with` with no await between them is atomic
         # on the event loop, so two coroutines cannot both pick single-stream.
-        if (state.batcher is not None and cont <= 0
+        # Adapter requests never ride the batcher: its resident decode loop
+        # holds ONE param set (the base model's).
+        if (state.batcher is not None and cont <= 0 and not body.get("adapter")
                 and (state.lock.locked() or not state.batcher.idle())):
             # per-request lsd_decode_steps / noise_clamp ride the batch as
             # per-slot data (engine lsd_vec/clamp_vec) — no single-flight path
@@ -232,7 +314,8 @@ def create_app(state: ServerState):
         data/audio.py:37-126) — a WAV header with a sentinel frame count,
         the first bytes held back until FIRST_CHUNK_LENGTH_SECONDS of audio
         is buffered, and 200 ms of trailing silence appended."""
-        model = _model_for(body)
+        base, vcache = await _adapted_for(body)
+        model = _model_for(body, base)
         text = body.get("text", "")
         if not str(text).strip():
             raise web.HTTPBadRequest(text=json.dumps({"error": "text is required"}),
@@ -240,7 +323,7 @@ def create_app(state: ServerState):
         # parse/validate before the response is prepared — after prepare()
         # the status line is sent and a 400 can no longer be raised
         cont = _int_field(body, "continuation_frames")
-        voice = await _resolve_voice(body)
+        voice = await _resolve_voice(body, base, vcache)
 
         if wav_compat:
             import os
@@ -321,6 +404,7 @@ def create_app(state: ServerState):
         # latency than the exclusive single-stream engine) or briefly queues
         # on the lock.  Correctness never depends on the snapshot.
         use_batcher = (state.batcher is not None and cont <= 0
+                       and not body.get("adapter")
                        and (state.lock.locked() or not state.batcher.idle()))
         ctx = contextlib.nullcontext() if use_batcher else state.lock
         held: list[bytes] = []  # wav_compat pre-buffer (header + first bytes)
@@ -390,6 +474,8 @@ def create_app(state: ServerState):
                 body["text"] = str(form["text"])
             if "compat" in form:
                 body["compat"] = str(form["compat"])
+            if "adapter" in form:
+                body["adapter"] = str(form["adapter"])
             if "voice_url" in form:
                 body["voice"] = str(form["voice_url"])
             if "voice_wav" in form:
@@ -414,6 +500,7 @@ def create_app(state: ServerState):
             "text": body.get("input"),
             "voice": body.get("voice"),
             "temperature": body.get("temperature"),
+            "adapter": body.get("adapter"),
         })
         return web.Response(body=data, content_type="audio/wav")
 
@@ -426,13 +513,30 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
                  voice_cache_capacity: int = 8,
                  default_voice: str = voices_mod.DEFAULT_VOICE,
                  prewarm: tuple[str, ...] = (), warmup: bool = True,
-                 batch_size: int = 0) -> None:
+                 batch_size: int = 0,
+                 adapters: dict[str, str] | None = None) -> None:
     """Blocking entry: preload default voice, prewarm LRU, warmup compile, serve
     (reference: crates/pocket-tts-cli/src/server/mod.rs:15-166).
 
     ``batch_size > 1`` enables continuous batching: concurrent requests share
-    one resident decode loop (the reference serializes requests instead)."""
+    one resident decode loop (the reference serializes requests instead).
+    ``adapters`` maps request-selectable names to fine-tuned checkpoint/LoRA
+    artifact paths (CLI ``--adapter name=path``); formats are validated here
+    so a typo fails at startup, not on the first request."""
     from aiohttp import web
+
+    if adapters:
+        from safetensors import safe_open
+
+        from pocket_tts_tpu.training.lora import LORA_FORMAT
+        from pocket_tts_tpu.training.trainer import FINETUNED_FORMAT
+
+        for name, path in adapters.items():
+            with safe_open(str(path), framework="numpy") as f:
+                fmt = (f.metadata() or {}).get("format")
+            if fmt not in (FINETUNED_FORMAT, LORA_FORMAT):
+                raise ValueError(f"adapter {name!r}: {path} has unknown "
+                                 f"format {fmt!r}")
 
     batcher = None
     if batch_size > 1:
@@ -444,7 +548,8 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
         batcher = batched_tts(model, batch_size=batch_size, chunk_frames=64,
                               depth=2)
     state = ServerState(model, voice_cache_capacity=voice_cache_capacity,
-                        default_voice=default_voice, batcher=batcher)
+                        default_voice=default_voice, batcher=batcher,
+                        adapters=adapters)
     state.resolve(default_voice)
     for name in prewarm:
         state.resolve(name)

@@ -143,6 +143,106 @@ def test_per_request_override(client):
     assert loop.run_until_complete(go()) == (200, 200)
 
 
+class TestAdapters:
+    """Request-selectable fine-tuned adapters (--adapter name=path): per-
+    request model swap on the single-stream path, per-adapter voice caches,
+    unknown names are client errors."""
+
+    @pytest.fixture(scope="class")
+    def adapter_path(self, model, tmp_path_factory):
+        from pocket_tts_tpu.training import finetune, save_lora_params
+
+        rng = np.random.default_rng(4)
+        pairs = [("adapter voice", rng.normal(size=(2 * 1920,)
+                                              ).astype(np.float32) * 0.1)]
+        tuned = finetune(model, pairs, steps=4, batch_size=1, lr=5e-2,
+                         log_every=0, lora_rank=2)
+        factors, rank, alpha = tuned._lora
+        path = tmp_path_factory.mktemp("adapters") / "spk.lora.safetensors"
+        save_lora_params(factors, path, rank=rank, alpha=alpha)
+        return str(path)
+
+    @pytest.fixture()
+    def aclient(self, model, adapter_path):
+        import asyncio
+
+        loop = asyncio.new_event_loop()
+        state = ServerState(model, adapters={"spk": adapter_path})
+        app = create_app(state)
+        client = TestClient(TestServer(app), loop=loop)
+        loop.run_until_complete(client.start_server())
+        yield client, loop
+        loop.run_until_complete(client.close())
+        loop.close()
+
+    def test_adapter_selects_tuned_model(self, aclient):
+        c, loop = aclient
+
+        async def go():
+            resp = await c.get("/health")
+            assert (await resp.json())["adapters"] == ["spk"]
+
+            base = await c.post("/generate", json={"text": "Adapter test."})
+            assert base.status == 200
+            tuned = await c.post("/generate", json={"text": "Adapter test.",
+                                                    "adapter": "spk"})
+            assert tuned.status == 200
+            return await base.read(), await tuned.read()
+
+        base_wav, tuned_wav = loop.run_until_complete(go())
+        assert _check_wav(base_wav) > 0 and _check_wav(tuned_wav) > 0
+        # temp=0: same request differs only through the adapter's weights
+        assert base_wav != tuned_wav
+
+    def test_adapter_streams_and_caches(self, aclient):
+        c, loop = aclient
+
+        async def go():
+            resp = await c.post("/stream", json={"text": "Stream adapted.",
+                                                 "adapter": "spk"})
+            assert resp.status == 200
+            pcm = await resp.read()
+            assert len(pcm) > 0 and len(pcm) % 2 == 0
+
+            # OpenAI-compatible route accepts the adapter field too
+            resp = await c.post("/v1/audio/speech",
+                                json={"input": "Speech.", "adapter": "spk"})
+            assert resp.status == 200
+
+        loop.run_until_complete(go())
+
+    def test_unknown_adapter_400(self, aclient):
+        c, loop = aclient
+
+        async def go():
+            resp = await c.post("/generate", json={"text": "x",
+                                                   "adapter": "nope"})
+            assert resp.status == 400
+            assert "unknown adapter" in (await resp.json())["error"]
+            resp = await c.post("/stream", json={"text": "x",
+                                                 "adapter": "nope"})
+            assert resp.status == 400
+
+        loop.run_until_complete(go())
+
+    def test_adapter_cache_eviction(self, model, adapter_path):
+        """The adapted-model LRU is bounded; eviction drops the oldest."""
+        state = ServerState(model, adapters={"a": adapter_path,
+                                             "b": adapter_path},
+                            adapter_cache_capacity=1)
+        m_a, cache_a = state.adapted("a")
+        assert state.adapted("a")[0] is m_a  # hit
+        state.adapted("b")  # evicts a
+        assert list(state._adapted) == ["b"]
+        m_a2, _ = state.adapted("a")  # rebuilt after eviction
+        assert m_a2 is not m_a
+        from pocket_tts_tpu.server.app import AdapterError
+
+        with pytest.raises(AdapterError, match="unknown adapter"):
+            state.adapted("zzz")
+        _ = cache_a
+
+
 class TestCLI:
     def test_generate_to_wav(self, model, tmp_path, monkeypatch):
         from pocket_tts_tpu import cli
