@@ -641,7 +641,7 @@ def test_webui_fetch_contract(client):
     # every knob the page can send, all at once, through the page's endpoints
     body = {"text": "Contract check.", "voice": None, "temperature": 0.6,
             "lsd_steps": 2, "noise_clamp": 1.5, "eos_threshold": 4.0,
-            "continuation_frames": 0}
+            "continuation_frames": 0, "adapter": None}
     assert set(body) == fields, (set(body), fields)
     body["voice"] = "alba"
 
@@ -672,6 +672,8 @@ def test_webui_endpoints_exist(client):
     async def go():
         for ep in endpoints:
             resp = await c.post(ep, json={"text": "ping"})
+            if resp.status == 405:  # GET-only route (e.g. /health)
+                resp = await c.get(ep)
             assert resp.status == 200, (ep, await resp.text())
 
     loop.run_until_complete(go())
