@@ -556,6 +556,16 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
     if warmup:
         t0 = time.time()
         _ = model.generate("Warm up.", state.resolve(default_voice))
+        # Build registered adapters up to the LRU capacity so the first
+        # adapter request doesn't pay checkpoint load + merge + engine build
+        # (seconds; any uncached decode compile on top of that).  Beyond
+        # capacity the LRU would immediately evict, so stop there.
+        for name in list(state.adapters)[:state._adapter_cap]:
+            ta = time.time()
+            adapted_model, _cache = state.adapted(name)
+            _ = adapted_model.generate("Warm up.")
+            logger.info("adapter %r prewarmed in %.1fs", name,
+                        time.time() - ta)
         if batcher is not None:
             # compile every (chunk, window) decode variant up front: a lazy
             # compile would block every in-flight stream whenever the first
