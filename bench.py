@@ -16,9 +16,21 @@ driver's 2000-char stderr tail.
 Details (first-chunk latency, per-frame ms) go to stderr.  EOS is disabled
 (threshold +inf) so the run generates the full frame budget — random weights
 would otherwise EOS immediately, and RTF is weight-independent compute.
+
+Weather instrumentation (VERDICT r4 #1): every run also emits
+  * gauge_mbps / gauge_mbps_late — measured device->host transport bandwidth
+    (the tunnel's "weather"), sampled at the start and end of the session so
+    cross-round comparisons can be normalized;
+  * device_ms_per_frame — trace-derived device busy time of the steady-state
+    decode while-loop, which is weather-INDEPENDENT and is the number to
+    compare across rounds for device-side regressions;
+  * per-variant `*_rel` ratios vs a bf16 sample taken immediately after each
+    variant leg (A/B/A interleaving), so variant wins/losses are
+    weather-normalized within the session.
 """
 
 import json
+import logging
 import sys
 import time
 from pathlib import Path
@@ -76,6 +88,93 @@ def wait_for_backend(timeout_s: float = 600.0):
     sys.exit(1)
 
 
+def transport_gauge(reps: int = 3) -> float:
+    """Measure device->host fetch bandwidth (MB/s) — the tunnel weather gauge.
+
+    Two int16 buffer sizes (2 MB and 8 MB, the wire dtype — f32 near 1 MB hits
+    a pathological path on this backend), median of ``reps`` fetches each; the
+    slope between them cancels the ~30 ms fixed per-fetch cost.  No compiles:
+    the buffers are device_put once and only fetched.
+    """
+    import jax
+    import numpy as np
+
+    # each rep must fetch a FRESH device array: device_get of an unchanged
+    # array returns the cached host value with no transfer at all
+    bump = jax.jit(lambda x: x + 1)
+
+    def median_fetch_s(n_elems: int) -> float:
+        buf = jax.device_put(np.zeros(n_elems, np.int16))
+        _ = jax.device_get(bump(buf))  # compile + first touch
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            # dispatch (async, ~0.5 ms) + trivial exec + fetch; the fetch
+            # dominates, and the two-size slope cancels the fixed parts
+            _ = jax.device_get(bump(buf))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    t_small = median_fetch_s(1 << 20)   # 2 MB
+    t_big = median_fetch_s(4 << 20)     # 8 MB
+    if t_big <= t_small:  # degenerate weather sample; fall back to raw rate
+        return 8.0 / t_big
+    return 6.0 / (t_big - t_small)
+
+
+def device_ms_per_frame(model) -> float:
+    """Trace-derived device busy time per frame of the steady-state decode.
+
+    Runs a few max-size decode chunks under jax.profiler and sums the
+    durations of the decode program's top-level device `while` events
+    (the while body IS the whole chunk, so its duration is device busy time
+    without double-counting the fusions nested on other lanes).  This number
+    is independent of tunnel weather — it is the cross-round regression gauge
+    for device-side work.
+    """
+    import glob
+    import gzip
+    import os
+
+    import jax
+    import numpy as np
+
+    from pocket_tts_tpu.runtime.engine import GenParams
+
+    eng = model.engine
+    chunk = max(eng._rcfg.decode_chunks)
+    n_chunks = 4
+    gen = GenParams(temp=0.7)
+    key = jax.random.PRNGKey(0)
+    state = eng.prefill_tokens(eng.new_state(1),
+                               np.arange(1, 9, dtype=np.int32)[None], 8)
+    for _ in range(2):  # warm: compile + donation steady state
+        state, key, audio, _ = eng.decode_frames(state, key, chunk, gen)
+    _ = jax.device_get(audio)
+
+    trace_dir = "/tmp/pocket_bench_trace"
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(n_chunks):
+        state, key, audio, _ = eng.decode_frames(state, key, chunk, gen)
+    _ = jax.device_get(audio)  # fetch = the only reliable wait on axon
+    jax.profiler.stop_trace()
+
+    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    while_us = 0.0
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "X" or not e.get("dur"):
+            continue
+        name = e.get("name", "")
+        src = (e.get("args") or {}).get("source", "")
+        if name.startswith("while.") and "engine.py" in src:
+            while_us += e["dur"]
+    frames = n_chunks * chunk
+    return while_us / 1000.0 / frames
+
+
 def main():
     wait_for_backend()
 
@@ -83,8 +182,20 @@ def main():
 
     from pocket_tts_tpu import TTSModel
 
+    # the per-run RTF/no-EOS logger output would bury the bench summary in
+    # the driver's stderr tail (~90% of it in r4); bench prints its own lines
+    logging.getLogger("pocket_tts_tpu").setLevel(logging.ERROR)
+
     # serving numbers folded into the final JSON line (None = leg failed)
     extra = {}
+
+    try:
+        gauge = transport_gauge()
+        extra["gauge_mbps"] = round(gauge, 1)
+        print(f"transport gauge (early): {gauge:.1f} MB/s device->host",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"transport gauge failed: {e}", file=sys.stderr)
 
     t0 = time.time()
     model = TTSModel.load(eos_threshold=float("inf"))  # never stop early
@@ -124,6 +235,15 @@ def main():
         best = max(best, x_rt)
         print(f"run {i}: {dur:.2f}s audio in {dt:.2f}s wall -> {x_rt:.1f}x realtime "
               f"({dt/ (wav.size/1920) * 1000:.2f} ms/frame)", file=sys.stderr)
+
+    # Weather-independent device gauge: trace the steady-state decode loop.
+    try:
+        dmspf = device_ms_per_frame(model)
+        extra["device_ms_per_frame"] = round(dmspf, 3)
+        print(f"device busy time (traced decode while-loop): "
+              f"{dmspf:.3f} ms/frame", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"device trace probe failed: {e}", file=sys.stderr)
 
     # Batched serving throughput (stderr detail; headline stays single-stream).
     try:
@@ -223,6 +343,20 @@ def main():
         if batcher is not None:
             batcher.stop()
 
+    # Interleaved A/B/A reference: one bf16 sample on the BASE model right
+    # after each variant leg, so each leg gets a weather-contemporaneous
+    # baseline (tunnel weather moves in minutes-scale phases — an absolute
+    # cross-leg comparison is vibes, the within-minutes ratio is not).
+    # The samples double as the "late" single-stream set for the headline.
+    late = []
+
+    def bf16_sample() -> float:
+        t0 = time.perf_counter()
+        wav = model.generate(TEXT)
+        x_rt = wav.size / model.sample_rate / (time.perf_counter() - t0)
+        late.append(x_rt)
+        return x_rt
+
     # int8 weight-only serving (stderr detail): RTF + round-trip SNR, the
     # reference's quantization quality metric (quantize.rs:157-171) — run
     # after the headline runs so a quantized-path failure can't cost them.
@@ -239,7 +373,11 @@ def main():
             qbest = max(qbest, wav.size / model.sample_rate
                         / (time.perf_counter() - t0))
         extra["int8_x"] = round(qbest, 1)
-        print(f"int8: {qbest:.1f}x realtime, SNR dB min {min(snrs.values()):.1f} "
+        ref = bf16_sample()
+        extra["int8_rel"] = round(qbest / ref, 2)
+        print(f"int8: {qbest:.1f}x realtime "
+              f"({qbest/ref:.2f}x vs contemporaneous bf16 {ref:.1f}x), "
+              f"SNR dB min {min(snrs.values()):.1f} "
               f"mean {sum(snrs.values())/len(snrs):.1f} over {len(snrs)} tensors",
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001
@@ -264,7 +402,11 @@ def main():
                 vbest = max(vbest, wav.size / model.sample_rate
                             / (time.perf_counter() - t0))
             extra[key] = round(vbest, 1)
-            print(f"{label}: {vbest:.1f}x realtime", file=sys.stderr)
+            ref = bf16_sample()
+            extra[key.replace("_x", "_rel")] = round(vbest / ref, 2)
+            print(f"{label}: {vbest:.1f}x realtime "
+                  f"({vbest/ref:.2f}x vs contemporaneous bf16 {ref:.1f}x)",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"{label} bench failed: {e}", file=sys.stderr)
 
@@ -286,27 +428,35 @@ def main():
 
     # Tunnel weather moves in minutes-scale phases (docs/performance.md), so
     # a tight cluster of 5 early runs can all land in a slow phase.  Sample
-    # again now — several minutes of batched/int8 phases later — and keep the
-    # overall best of the identical measurement.
-    late = []
+    # again now — several minutes of batched/int8 phases later, on top of the
+    # interleaved samples already in `late` — and keep the overall best of
+    # the identical measurement.
     for i in range(3):
-        t0 = time.perf_counter()
-        wav = model.generate(TEXT)
-        x_rt = wav.size / model.sample_rate / (time.perf_counter() - t0)
-        best = max(best, x_rt)
-        late.append(x_rt)
+        x_rt = bf16_sample()
         print(f"late-sample run {i}: {x_rt:.1f}x realtime", file=sys.stderr)
-    # p50 of the late samples: the trend-line statistic (best-of-8 is the
-    # headline because weather phases make it the achievable number, but the
-    # median late sample is the reproducible one)
+    best = max(best, *late)
+    # p50 of the late/interleaved samples: the trend-line statistic (best-of-N
+    # is the headline because weather phases make it the achievable number,
+    # but the median late sample is the reproducible one)
     extra["single_p50_late_x"] = round(sorted(late)[len(late) // 2], 1)
+
+    try:
+        gauge = transport_gauge()
+        extra["gauge_mbps_late"] = round(gauge, 1)
+        print(f"transport gauge (late): {gauge:.1f} MB/s device->host",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"late transport gauge failed: {e}", file=sys.stderr)
 
     # Recap: every serving number on stderr IMMEDIATELY before the JSON so
     # the driver's 2000-char stderr tail keeps them (VERDICT r3 item 1).
     print("=== serving summary ===", file=sys.stderr)
-    for k in ("first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
-              "batched_stream_p50_ms", "batched_stream_p90_ms", "int8_x",
-              "kv_fp8_x", "mulaw_x", "int8_fp8_x", "int8_fp8_mulaw_x",
+    for k in ("gauge_mbps", "gauge_mbps_late", "device_ms_per_frame",
+              "first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
+              "batched_stream_p50_ms", "batched_stream_p90_ms",
+              "int8_x", "int8_rel", "kv_fp8_x", "kv_fp8_rel",
+              "mulaw_x", "mulaw_rel", "int8_fp8_x", "int8_fp8_rel",
+              "int8_fp8_mulaw_x", "int8_fp8_mulaw_rel",
               "single_p50_late_x"):
         print(f"{k}: {extra.get(k, 'FAILED')}", file=sys.stderr)
 
