@@ -72,9 +72,22 @@ class _Segment:
     seq: int = 0  # global submission order (FIFO within a priority class)
     # bumped on preemption so stale in-flight chunks stop crediting frames
     epoch: int = 0
-    # filled during decode
+    # filled during decode.  Progress lives on the SEGMENT, not the slot:
+    # with early lane retirement (see _run_inner) a lane can be re-admitted
+    # to a new segment while this one's final chunks are still in flight, so
+    # slot-level counters would credit the wrong owner.
     chunks: list = dataclasses.field(default_factory=list)
     done: bool = False
+    frames_routed: int = 0      # frames fetched & credited to this segment
+    eos_step: int | None = None
+
+    @property
+    def target(self) -> int:
+        """Exact frame budget: max_frames until EOS is discovered, then the
+        host stop rule min(max_frames, eos_step + frames_after_eos)."""
+        if self.eos_step is None:
+            return self.max_frames
+        return min(self.max_frames, self.eos_step + self.frames_after_eos)
 
 
 @dataclasses.dataclass(eq=False)
@@ -106,24 +119,17 @@ class _Request:
 
 @dataclasses.dataclass
 class _Slot:
+    """Lane ownership only: which segment the lane's NEXT dispatch computes
+    for, and how far its dispatch frontier has advanced.  Fetch-side progress
+    is on the segment (owner snapshots route in-flight results)."""
+
     segment: _Segment | None = None
-    frames_done: int = 0   # frames fetched & routed
-    dispatched: int = 0    # frames dispatched to the device (>= frames_done)
-    eos_step: int | None = None
+    dispatched: int = 0    # frames dispatched for the CURRENT segment
     base_pos: int = 0  # voice length + text tokens (for window bucketing)
 
     @property
     def free(self) -> bool:
         return self.segment is None
-
-    @property
-    def target(self) -> int:
-        if self.segment is None:
-            return 0
-        if self.eos_step is None:
-            return self.segment.max_frames
-        return min(self.segment.max_frames,
-                   self.eos_step + self.segment.frames_after_eos)
 
 
 class ContinuousBatcher:
@@ -178,7 +184,8 @@ class ContinuousBatcher:
         # observability counters (written by the decode thread / submit)
         self._stats = {"dispatches": 0, "warm_dispatches": 0,
                        "serve_dispatches": 0,
-                       "frames_decoded": 0, "preemptions": 0,
+                       "frames_decoded": 0, "useful_frames": 0,
+                       "early_retirements": 0, "preemptions": 0,
                        "requests_completed": 0, "requests_submitted": 0,
                        "requests_cancelled": 0}
 
@@ -261,9 +268,18 @@ class ContinuousBatcher:
             return not self._active and self._submit.qsize() == 0
 
     def stats(self) -> dict:
-        """Snapshot of the decode loop's counters plus live queue depths."""
+        """Snapshot of the decode loop's counters plus live queue depths.
+
+        ``useful_frames`` counts frames actually emitted to consumers;
+        ``frames_decoded`` counts slot-frames dispatched on segment-owned
+        lanes.  Their ratio is the batch's compute efficiency — the gap is
+        EOS/budget overshoot (bounded by the pipeline depth) plus
+        preemption-discarded work."""
         with self._lock:
+            dec = self._stats["frames_decoded"]
             return {**self._stats,
+                    "useful_ratio": (round(self._stats["useful_frames"] / dec,
+                                           3) if dec else None),
                     "active_requests": len(self._active),
                     "queued_segments": self._submit.qsize() + self._waiting_n,
                     "batch_size": self.batch,
@@ -614,11 +630,24 @@ class ContinuousBatcher:
                     waiting.append(self._submit.get_nowait())
                 except queue.Empty:
                     break
-            # cancelled requests: their segments are marked done — free any
-            # slot they occupy and drop them from the admission queue
+            # cancelled/finished segments free their slot; EARLY RETIREMENT
+            # (VERDICT r4 #3): a lane whose dispatch frontier already covers
+            # its segment's exact budget (max_frames, or eos_step + fae once
+            # EOS is discovered) gains nothing from further dispatches — free
+            # it NOW, up to depth chunks before its results finish fetching,
+            # so a queued segment takes over the lane instead of it computing
+            # garbage.  Owner snapshots keep in-flight routing correct; the
+            # engine state is functional, so re-admission cannot corrupt
+            # results already dispatched.
             for s in slots:
-                if s.segment is not None and s.segment.done:
+                if s.segment is None:
+                    continue
+                if s.segment.done:
                     s.segment = None
+                elif s.dispatched >= s.segment.target:
+                    s.segment = None
+                    with self._lock:
+                        self._stats["early_retirements"] += 1
             waiting = [s for s in waiting if not s.done]
             waiting.sort(key=lambda s: (not s.ramp, s.seq))
 
@@ -663,9 +692,9 @@ class ContinuousBatcher:
                     state, i, seg.request.voice.as_dict(),
                     seg.d_tokens, seg.n_tokens)
                 slot.segment = seg
-                slot.frames_done = 0
                 slot.dispatched = 0
-                slot.eos_step = None
+                seg.frames_routed = 0   # fresh start (preemption re-queues)
+                seg.eos_step = None
                 slot.base_pos = seg.request.voice.length + seg.n_tokens
                 temps[i] = seg.request.gen.temp
                 eos_th[i] = seg.request.gen.eos_threshold
@@ -687,7 +716,7 @@ class ContinuousBatcher:
                 active, len(waiting),
                 sum(1 for s in waiting if s.ramp))
             # window must cover the DISPATCHED frontier, not the routed one —
-            # with pipelining frames_done lags by up to depth chunks, and a
+            # with pipelining the routed frontier lags by up to depth chunks, and a
             # too-small window would clamp KV writes onto the window edge
             # (silent cache corruption)
             window = engine.window_for(
@@ -800,7 +829,8 @@ class ContinuousBatcher:
         streamy = any(s.segment.request.latency_sensitive for s in active)
         if ramping:
             first_audio_pending = any(
-                s.frames_done == 0 and s.segment.ramp for s in active)
+                s.segment.frames_routed == 0 and s.segment.ramp
+                for s in active)
             return self.warm_chunk, (0 if first_audio_pending else 1), True
         if n_ramp_waiting and not saturated:
             return min(self.press_chunk, self.chunk), 1, False
@@ -821,15 +851,17 @@ class ContinuousBatcher:
                 continue
             if seg.index <= seg.request.emitted_upto:
                 continue
-            if best is None or s.frames_done < best:
-                best, best_i = s.frames_done, i
+            if best is None or seg.frames_routed < best:
+                best, best_i = seg.frames_routed, i
         return best_i
 
     def _route(self, slots, owners, k, audio, is_eos, frame_size) -> bool:
         """Fetch one chunk's results and route frames to the segments that
         owned each lane AT DISPATCH TIME.  Returns True if a slot retired
         (occupancy changed).  An epoch mismatch means the owner was preempted
-        after this chunk was dispatched — its lane data is discarded."""
+        after this chunk was dispatched — its lane data is discarded.
+        Progress is credited on the SEGMENT: with early retirement the lane
+        may already belong to a different segment by fetch time."""
         audio, eos = jax.device_get((audio, is_eos))
         audio = self.engine.wire_to_float(audio)
         eos = np.asarray(eos)
@@ -842,19 +874,21 @@ class ContinuousBatcher:
                 seg, epoch = owners[i]
                 if seg.done or seg.epoch != epoch:
                     continue
-                if slot.eos_step is None:
+                if seg.eos_step is None:
                     hits = np.nonzero(eos[i])[0]
                     if hits.size:
-                        slot.eos_step = slot.frames_done + int(hits[0])
-                emit = min(slot.target, slot.frames_done + k) \
-                    - slot.frames_done
+                        seg.eos_step = seg.frames_routed + int(hits[0])
+                emit = min(seg.target, seg.frames_routed + k) \
+                    - seg.frames_routed
                 if emit > 0:
                     seg.chunks.append(audio[i, : emit * frame_size].copy())
-                slot.frames_done += k
-                if slot.frames_done >= slot.target:
+                    self._stats["useful_frames"] += emit
+                seg.frames_routed += k
+                if seg.frames_routed >= seg.target:
                     seg.done = True
-                    slot.segment = None
-                    freed = True
+                    if slot.segment is seg:  # not already early-retired
+                        slot.segment = None
+                        freed = True
                 touched_requests.add(seg.request)
             for req in touched_requests:
                 req.pump()
