@@ -335,6 +335,12 @@ def main():
               f"arrivals over 2.5s): p50 {lat_ms[len(lat_ms)//2]:.0f} ms, "
               f"p90 {lat_ms[int(len(lat_ms)*0.9)]:.0f} ms, "
               f"max {lat_ms[-1]:.0f} ms", file=sys.stderr)
+        st = batcher.stats()
+        extra["useful_ratio"] = st["useful_ratio"]
+        print(f"batch efficiency: useful_frames/frames_decoded = "
+              f"{st['useful_frames']}/{st['frames_decoded']} = "
+              f"{st['useful_ratio']} ({st['early_retirements']} early "
+              f"lane retirements)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"batched bench failed: {e}", file=sys.stderr)
     finally:
@@ -454,6 +460,7 @@ def main():
     for k in ("gauge_mbps", "gauge_mbps_late", "device_ms_per_frame",
               "first_chunk_p50_ms", "batched_p50_x", "batched_best_x",
               "batched_stream_p50_ms", "batched_stream_p90_ms",
+              "useful_ratio",
               "int8_x", "int8_rel", "kv_fp8_x", "kv_fp8_rel",
               "mulaw_x", "mulaw_rel", "int8_fp8_x", "int8_fp8_rel",
               "int8_fp8_mulaw_x", "int8_fp8_mulaw_rel",
