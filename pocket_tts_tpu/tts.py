@@ -465,16 +465,21 @@ class TTSModel:
         depth = max(1, getattr(self.engine._rcfg, "pipeline_depth", 1))
         queue = list(texts)
         active: list[_SegmentRun] = []
-        emitted_any = False
+        # head-of-stream latency (STREAMING only): the tunnel serializes
+        # fetches behind queued executes, so before any audio has been
+        # emitted keep exactly one dispatch in flight and fetch it — a second
+        # queued chunk would ride ahead of the first chunk's fetch and add
+        # its whole execution to time-to-first-audio.  Whole-utterance mode
+        # (low_latency=False) must NOT pay this: nobody hears audio early,
+        # its first chunk is the LARGEST of the throughput schedule, and
+        # serializing it costs ~60-90 ms per utterance (the r4 headline
+        # regression: 159.7x -> 139x at unchanged device time and BETTER
+        # transport weather — caught by the r5 gauge instrumentation).
+        emitted_any = not low_latency
         MAX_ACTIVE = 2  # head + one lookahead (each holds a full KV state)
         while queue or active:
             while True:
                 in_flight = sum(len(s.pending) for s in active)
-                # head-of-stream latency: the tunnel serializes fetches behind
-                # queued executes, so before ANY audio has been emitted keep
-                # exactly one dispatch in flight and fetch it — a second
-                # queued chunk would ride ahead of the first chunk's fetch
-                # and add its whole execution to time-to-first-audio
                 if in_flight > (depth if emitted_any else 0):
                     break
                 seg = next((s for s in active if s.dispatchable), None)
