@@ -266,6 +266,121 @@ def remap_split_mimi(sd: dict) -> dict:
     return out
 
 
+def export_transformer(p: dict, prefix: str, layer_scale: bool) -> dict:
+    """Inverse of convert_transformer: stacked [L, ...] leaves -> per-layer
+    torch state_dict keys (in_proj's qkv axis folds back to [3E, E] rows)."""
+    out = {}
+    n_layers, _, _, e = p["in_proj"].shape
+    suffixes = {"out_proj": "self_attn.out_proj.weight",
+                "norm1_w": "norm1.weight", "norm1_b": "norm1.bias",
+                "norm2_w": "norm2.weight", "norm2_b": "norm2.bias",
+                "ff1": "linear1.weight", "ff2": "linear2.weight"}
+    if layer_scale:
+        suffixes |= {"ls1": "layer_scale_1.scale", "ls2": "layer_scale_2.scale"}
+    for i in range(n_layers):
+        out[f"{prefix}.layers.{i}.self_attn.in_proj.weight"] = \
+            np.asarray(p["in_proj"][i]).reshape(-1, e)
+        for name, suffix in suffixes.items():
+            out[f"{prefix}.layers.{i}.{suffix}"] = np.asarray(p[name][i])
+    return out
+
+
+def _export_te(p: dict, prefix: str) -> dict:
+    return {f"{prefix}.mlp.0.weight": np.asarray(p["w1"]),
+            f"{prefix}.mlp.0.bias": np.asarray(p["b1"]),
+            f"{prefix}.mlp.2.weight": np.asarray(p["w2"]),
+            f"{prefix}.mlp.2.bias": np.asarray(p["b2"]),
+            f"{prefix}.mlp.3.alpha": np.asarray(p["alpha"])}
+
+
+def export_flow_mlp(p: dict, prefix: str) -> dict:
+    out = {**_export_te(p["time_embed_0"], f"{prefix}.time_embed.0"),
+           **_export_te(p["time_embed_1"], f"{prefix}.time_embed.1"),
+           f"{prefix}.cond_embed.weight": np.asarray(p["cond_w"]),
+           f"{prefix}.cond_embed.bias": np.asarray(p["cond_b"]),
+           f"{prefix}.input_proj.weight": np.asarray(p["in_w"]),
+           f"{prefix}.input_proj.bias": np.asarray(p["in_b"]),
+           f"{prefix}.final_layer.adaLN_modulation.1.weight":
+               np.asarray(p["final_ada_w"]),
+           f"{prefix}.final_layer.adaLN_modulation.1.bias":
+               np.asarray(p["final_ada_b"]),
+           f"{prefix}.final_layer.linear.weight": np.asarray(p["final_w"]),
+           f"{prefix}.final_layer.linear.bias": np.asarray(p["final_b"])}
+    blocks = p["blocks"]
+    suffixes = {"ln_w": "in_ln.weight", "ln_b": "in_ln.bias",
+                "mlp1_w": "mlp.0.weight", "mlp1_b": "mlp.0.bias",
+                "mlp2_w": "mlp.2.weight", "mlp2_b": "mlp.2.bias",
+                "ada_w": "adaLN_modulation.1.weight",
+                "ada_b": "adaLN_modulation.1.bias"}
+    for i in range(blocks["ln_w"].shape[0]):
+        for name, suffix in suffixes.items():
+            out[f"{prefix}.res_blocks.{i}.{suffix}"] = np.asarray(blocks[name][i])
+    return out
+
+
+def export_seanet(params: list, prefix: str, plan) -> dict:
+    out = {}
+    for p, layer in zip(params, plan):
+        base = f"{prefix}.model.{layer.index}"
+        if layer.kind == "conv":
+            out[f"{base}.conv.weight"] = np.asarray(p["w"])
+            if "b" in p:
+                out[f"{base}.conv.bias"] = np.asarray(p["b"])
+        elif layer.kind == "convtr":
+            out[f"{base}.convtr.weight"] = np.asarray(p["w"])
+            if "b" in p:
+                out[f"{base}.convtr.bias"] = np.asarray(p["b"])
+        elif layer.kind == "res":
+            for name, tidx in (("conv0", 1), ("conv1", 3)):
+                out[f"{base}.block.{tidx}.conv.weight"] = np.asarray(p[name]["w"])
+                if "b" in p[name]:
+                    out[f"{base}.block.{tidx}.conv.bias"] = \
+                        np.asarray(p[name]["b"])
+    return out
+
+
+def export_state_dict(params: dict, plans: MimiPlans) -> dict[str, np.ndarray]:
+    """params pytree -> the released combined-checkpoint key layout (the exact
+    inverse of convert_tts_state_dict, round-trip tested).  Lets fine-tuned /
+    modified weights ship as a checkpoint the REFERENCE implementation (and
+    load_params here) can read — interop both ways, not just import."""
+    fl, prefix = params["flow_lm"], "flow_lm"
+    out = export_transformer(fl["tf"], f"{prefix}.transformer", False)
+    out |= export_flow_mlp(fl["flow"], f"{prefix}.flow_net")
+    out |= {f"{prefix}.input_linear.weight": np.asarray(fl["input_w"]),
+            f"{prefix}.out_norm.weight": np.asarray(fl["out_norm_w"]),
+            f"{prefix}.out_norm.bias": np.asarray(fl["out_norm_b"]),
+            f"{prefix}.out_eos.weight": np.asarray(fl["out_eos_w"]),
+            f"{prefix}.out_eos.bias": np.asarray(fl["out_eos_b"]),
+            f"{prefix}.bos_emb": np.asarray(fl["bos_emb"]),
+            f"{prefix}.emb_std": np.asarray(fl["emb_std"]),
+            f"{prefix}.emb_mean": np.asarray(fl["emb_mean"]),
+            f"{prefix}.conditioner.embed.weight": np.asarray(fl["text_embed"]),
+            f"{prefix}.speaker_proj_weight": np.asarray(fl["speaker_proj"])}
+    mm, mprefix = params["mimi"], "mimi"
+    out |= export_seanet(mm["encoder"], f"{mprefix}.encoder", plans.encoder)
+    out |= export_seanet(mm["decoder"], f"{mprefix}.decoder", plans.decoder)
+    out |= export_transformer(mm["enc_tf"]["layers"],
+                              f"{mprefix}.encoder_transformer.transformer", True)
+    out |= export_transformer(mm["dec_tf"]["layers"],
+                              f"{mprefix}.decoder_transformer.transformer", True)
+    out |= {f"{mprefix}.quantizer.output_proj.weight":
+                np.asarray(mm["quantizer_w"]),
+            f"{mprefix}.downsample.conv.conv.weight":
+                np.asarray(mm["downsample_w"]),
+            f"{mprefix}.upsample.convtr.convtr.weight":
+                np.asarray(mm["upsample_w"])}
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
+def save_checkpoint(params: dict, plans: MimiPlans, path: str | Path) -> None:
+    """Write ``params`` as a reference-format combined safetensors checkpoint
+    (readable by load_params and by the reference implementation)."""
+    from safetensors.numpy import save_file
+
+    save_file(export_state_dict(params, plans), str(path))
+
+
 def random_params(cfg: Config, plans: MimiPlans, seed: int = 0) -> dict:
     # One jitted program: eager per-leaf random ops are pathologically slow on
     # remote-compile backends (seconds per op through the axon tunnel).

@@ -80,6 +80,42 @@ def test_combined_checkpoint_file_roundtrip(tmp_path, monkeypatch):
     assert wav.size > 0 and np.isfinite(wav).all()
 
 
+def test_export_state_dict_inverts_convert():
+    """export_state_dict is the exact inverse of convert_tts_state_dict:
+    every exported tensor must be byte-identical to the oracle state_dict it
+    was loaded from (the subset convert reads), and re-converting the export
+    must reproduce the params pytree exactly."""
+    import jax
+
+    cfg, sd = _combined_state_dict()
+    plans = MimiPlans(cfg.mimi)
+    params = weights.convert_tts_state_dict(sd, cfg, plans)
+    exported = weights.export_state_dict(params, plans)
+    for k, v in exported.items():
+        assert k in sd, f"exported key {k} not in the oracle state_dict"
+        np.testing.assert_array_equal(v, np.asarray(sd[k], np.float32),
+                                      err_msg=k)
+    re_params = weights.convert_tts_state_dict(exported, cfg, plans)
+    jax.tree.map(np.testing.assert_array_equal, params, re_params)
+
+
+def test_save_checkpoint_loads_as_real(tmp_path, monkeypatch):
+    """A save_checkpoint artifact must round-trip through the REAL loading
+    path (POCKET_TTS_WEIGHTS -> load_params) and be flagged as real weights —
+    the mechanism the synthetic-checkpoint gate test relies on."""
+    import jax
+
+    cfg, sd = _combined_state_dict()
+    plans = MimiPlans(cfg.mimi)
+    params = weights.convert_tts_state_dict(sd, cfg, plans)
+    path = tmp_path / "tts_exported.safetensors"
+    weights.save_checkpoint(params, plans, path)
+    monkeypatch.setenv("POCKET_TTS_WEIGHTS", str(path))
+    loaded, real = weights.load_params(cfg, plans)
+    assert real
+    jax.tree.map(np.testing.assert_array_equal, params, loaded)
+
+
 def test_bf16_checkpoint_upcasts(tmp_path, monkeypatch):
     """The released checkpoint stores bf16; loading must upcast to f32
     (reference: tts_model.rs:190)."""
