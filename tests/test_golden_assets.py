@@ -8,6 +8,7 @@ encode exactly the reference's tolerances so they activate unmodified once
 weights are present.
 """
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -17,6 +18,22 @@ ASSETS = Path("/root/reference/assets")
 
 if not ASSETS.exists():
     pytest.skip("reference assets unavailable", allow_module_level=True)
+
+# Synthetic-checkpoint mode (tests/test_weights_gate.py): a fake "released"
+# checkpoint proves the whole gated path RUNS — loading, conversion, every
+# model stage — but only the true released weights can satisfy the reference
+# tolerances, so those final comparisons xfail instead of failing the run.
+SYNTHETIC = os.environ.get("POCKET_TTS_SYNTHETIC_CHECKPOINT") == "1"
+
+
+def _tolerance(cond: bool, what: str) -> None:
+    """Assert a golden-asset tolerance; under a synthetic checkpoint a miss
+    is an expected failure (the path executed — the VALUES need real weights).
+    Shape/sanity asserts stay unconditional: they must hold for any weights."""
+    if SYNTHETIC and not cond:
+        pytest.xfail(f"{what}: requires the released checkpoint "
+                     f"(synthetic-checkpoint run exercised the full path)")
+    assert cond, what
 
 
 def _load(name: str) -> dict:
@@ -68,7 +85,7 @@ def test_voice_conditioning_parity(real_model):
     ref = _load("ref_voice_conditioning.safetensors")["voice_conditioning"]
     cond = np.asarray(cond, np.float32)[:, :n_frames]
     assert cond.shape == ref.shape, (cond.shape, ref.shape)
-    assert np.abs(cond - ref).max() < 2e-2
+    _tolerance(np.abs(cond - ref).max() < 2e-2, "voice conditioning <= 2e-2")
 
 
 def test_decoder_stage_parity(real_model):
@@ -84,14 +101,19 @@ def test_decoder_stage_parity(real_model):
 
     latent = jnp.asarray(refs["latent_from_flowlm"])  # [1, 1, 32]
     denorm = flow_lm.denormalize(params["flow_lm"], latent)
-    assert np.abs(np.asarray(denorm) - refs["denormalized"]).max() < 1e-3
+    assert np.asarray(denorm).shape == refs["denormalized"].shape
+    _tolerance(np.abs(np.asarray(denorm) - refs["denormalized"]).max() < 1e-3,
+               "denormalize <= 1e-3")
 
     q = mimi.quantize(params["mimi"], denorm.transpose(0, 2, 1))
-    assert np.abs(np.asarray(q) - refs["quantized"]).max() < 1e-2
+    _tolerance(np.abs(np.asarray(q) - refs["quantized"]).max() < 1e-2,
+               "quantize <= 1e-2")
 
     state = mimi.init_decode_state(plans, 1)
     audio, _ = mimi.decode_step(params["mimi"], plans, state, denorm.transpose(0, 2, 1))
-    assert np.abs(np.asarray(audio) - refs["final_audio"]).max() < 0.1
+    assert np.isfinite(np.asarray(audio)).all()
+    _tolerance(np.abs(np.asarray(audio) - refs["final_audio"]).max() < 0.1,
+               "decoded audio <= 0.1")
 
 
 def test_e2e_generation_sanity(real_model):
@@ -101,7 +123,7 @@ def test_e2e_generation_sanity(real_model):
 
     ref, _ = audio_io.read_wav(ASSETS / "ref_output.wav")
     wav = real_model.generate("Hello, world!")
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
     ratio = wav.size / ref.shape[-1]
-    assert 0.2 < ratio < 5.0
-    assert np.abs(wav).max() <= 1.0
-    assert np.abs(wav).max() > 0.01
+    _tolerance(0.2 < ratio < 5.0, f"length ratio {ratio:.2f} in (0.2, 5.0)")
+    _tolerance(np.abs(wav).max() > 0.01, "audible amplitude")
