@@ -1,9 +1,18 @@
 # Convenience entry points (python env is ambient; no pip/apt installs).
 
-.PHONY: test bench dryrun parity-real
+.PHONY: test test-slow test-all bench dryrun parity-real
 
+# Fast tier (default, <5 min): everything except @pytest.mark.slow.
 test:
 	python -m pytest tests/ -q
+
+# Slow tier: flagship-dim parity, training convergence, subprocess gates.
+test-slow:
+	python -m pytest tests/ -q -m slow
+
+# Both tiers (the trailing -m overrides the pyproject default).
+test-all:
+	python -m pytest tests/ -q -m "slow or not slow"
 
 bench:
 	python bench.py

@@ -16,6 +16,7 @@ Slow (~2 min on CPU): compiles the ~90 MB flagship model twice (B=1, B=4).
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -28,6 +29,7 @@ N_FRAMES = 32  # 4 chunks of 8: enough AR feedback steps to amplify drift
 CHUNK = 8
 
 
+@pytest.mark.slow
 def test_flagship_batch_lane_drift_bounded():
     cfg = load_variant("b6369a24")
     cfg = dataclasses.replace(cfg, runtime=RuntimeConfig(

@@ -14,6 +14,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # flagship dims: minutes on CPU
+
 from tests import oracle
 
 if not oracle.install_shims():

@@ -131,6 +131,7 @@ def test_kv_fp8_composes_with_int8_weights():
     assert np.isfinite(ac).all() and ac.std() > 0
 
 
+@pytest.mark.slow
 def test_kv_fp8_flagship_drift_bounded():
     """Production-dims quality envelope (slow, ~3 min CPU: two flagship
     engines).  Measured at head: latent corr 0.989, audio corr 0.99998,

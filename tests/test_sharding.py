@@ -11,6 +11,7 @@ if len(jax.devices()) < 8:
     pytest.skip("needs 8 virtual devices", allow_module_level=True)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
@@ -84,6 +85,7 @@ def test_sharded_equals_single_device(tp):
 
 
 @pytest.mark.parametrize("tp", [2, 8])
+@pytest.mark.slow
 def test_flagship_dims_sharded_equals_single_device(tp):
     """The REAL b6369a24 dims (d_model 1024, 16 heads, FFN 4096, Mimi 512)
     compiled and executed over the virtual mesh must match single-device
