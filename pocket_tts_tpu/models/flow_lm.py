@@ -80,6 +80,8 @@ def prefill(
     pos: jnp.ndarray,
     embeddings: jnp.ndarray,  # [B, T, d_model] text embeddings or audio conditioning
     t_valid: jnp.ndarray,  # [B] number of real positions (right-padded buckets)
+    lora: dict | None = None,  # per-slot adapter bank (transformer.cache_forward)
+    lora_w=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Feed conditioning embeddings through the backbone, filling the KV cache.
 
@@ -95,7 +97,7 @@ def prefill(
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
     _, k_cache, v_cache = transformer.cache_forward(
         params["tf"], tcfg.num_heads, k_cache, v_cache, pos, embeddings, cos, sin,
-        t_valid=t_valid,
+        t_valid=t_valid, lora=lora, lora_w=lora_w,
     )
     return k_cache, v_cache, pos + t_valid.astype(pos.dtype)
 
@@ -113,6 +115,8 @@ def step(
     eos_threshold: float,
     use_pallas: bool = False,
     lsd_vec: jnp.ndarray | None = None,  # [B] per-slot step counts (batched serving)
+    lora: dict | None = None,  # per-slot adapter bank (transformer.cache_forward)
+    lora_w=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One autoregressive frame.  Returns (next_latent, eos_logit, kc, vc, pos)."""
     tcfg = cfg.flow_lm.transformer
@@ -122,7 +126,8 @@ def step(
     cos, sin = rope_table(positions, tcfg.head_dim, tcfg.max_period)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
     y, k_cache, v_cache = transformer.cache_forward(
-        params["tf"], tcfg.num_heads, k_cache, v_cache, pos, x, cos, sin
+        params["tf"], tcfg.num_heads, k_cache, v_cache, pos, x, cos, sin,
+        lora=lora, lora_w=lora_w,
     )
     h = layer_norm(y[:, -1], params["out_norm_w"], params["out_norm_b"], eps=1e-5)
     h = h.astype(jnp.float32)

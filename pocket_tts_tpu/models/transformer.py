@@ -65,12 +65,37 @@ def init_params(
     return p
 
 
-def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
+def _lora_pair(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+               w: jnp.ndarray, sub: str) -> jnp.ndarray:
+    """Per-slot mixed low-rank delta: ``sum_n w[:, n] * (x @ A_n^T) @ B_n^T``.
+
+    ``x`` [B, T, in] activations; ``a`` [N, (3,) r, in] / ``b`` [N, (3,) out, r]
+    stacked adapter factors for ONE layer; ``w`` [B, N] per-slot mixing weights
+    (one-hot x alpha/rank; an all-zero row = that slot runs the base model).
+    ``sub`` carries the optional qkv axis through the einsum ("k" for in_proj,
+    "" otherwise).  Rank-r contractions are tiny next to the base matmuls —
+    the cost of multi-adapter batched serving is the [N, ...] factor reads
+    (~2 MB/adapter/frame), not FLOPs.  Computed in f32 like the offline
+    merge (training/lora.py merge_lora) so per-slot audio tracks the merged
+    single-stream model."""
+    u = jnp.einsum(f"bti,n{sub}ri->btn{sub}r", x.astype(jnp.float32),
+                   a.astype(jnp.float32))
+    u = u * w.reshape(w.shape[0], 1, w.shape[1], *([1] * (u.ndim - 3)))
+    return jnp.einsum(f"btn{sub}r,n{sub}or->bt{sub}o", u,
+                      b.astype(jnp.float32))
+
+
+def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin,
+         lora: dict | None = None, lora_w=None):
     b, t, e = x.shape
     d = e // n_heads
     xn = layer_norm(x, p_layer["norm1_w"], p_layer["norm1_b"], eps=1e-5)
     w = mat(p_layer["in_proj"])  # [3, E, E]
     proj = jnp.einsum("bte,kpe->btkp", xn.astype(w.dtype), w)
+    if lora is not None and "in_proj" in lora:
+        delta = _lora_pair(xn, lora["in_proj"]["a"], lora["in_proj"]["b"],
+                           lora_w, "k")
+        proj = proj + delta.astype(proj.dtype)
     proj = proj.reshape(b, t, 3, n_heads, d)
     q, k, v = proj[:, :, 0], proj[:, :, 1], proj[:, :, 2]
     q = apply_rope(q, cos, sin)
@@ -78,18 +103,31 @@ def _qkv(p_layer: dict, x: jnp.ndarray, n_heads: int, cos, sin):
     return q, k, v
 
 
-def _post_attn(p_layer: dict, x: jnp.ndarray, attn: jnp.ndarray):
+def _post_attn(p_layer: dict, x: jnp.ndarray, attn: jnp.ndarray,
+               lora: dict | None = None, lora_w=None):
     b, t = x.shape[:2]
+    attn_flat = attn.reshape(b, t, -1)
     wo = mat(p_layer["out_proj"])
-    update = jnp.einsum("btf,ef->bte", attn.reshape(b, t, -1).astype(wo.dtype), wo)
+    update = jnp.einsum("btf,ef->bte", attn_flat.astype(wo.dtype), wo)
+    if lora is not None and "out_proj" in lora:
+        update = update + _lora_pair(
+            attn_flat, lora["out_proj"]["a"], lora["out_proj"]["b"], lora_w,
+            "").astype(update.dtype)
     if "ls1" in p_layer:
         update = update * p_layer["ls1"].astype(update.dtype)
     x = x + update
     xn = layer_norm(x, p_layer["norm2_w"], p_layer["norm2_b"], eps=1e-5)
     w1, w2 = mat(p_layer["ff1"]), mat(p_layer["ff2"])
     h = jnp.einsum("bte,fe->btf", xn.astype(w1.dtype), w1)
+    if lora is not None and "ff1" in lora:
+        h = h + _lora_pair(xn, lora["ff1"]["a"], lora["ff1"]["b"], lora_w,
+                           "").astype(h.dtype)
     h = jax.nn.gelu(h, approximate=False)
     update = jnp.einsum("btf,ef->bte", h, w2.astype(h.dtype))
+    if lora is not None and "ff2" in lora:
+        update = update + _lora_pair(
+            h, lora["ff2"]["a"], lora["ff2"]["b"], lora_w, "").astype(
+            update.dtype)
     if "ls2" in p_layer:
         update = update * p_layer["ls2"].astype(update.dtype)
     return x + update
@@ -105,6 +143,8 @@ def cache_forward(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     t_valid: jnp.ndarray | None = None,  # per-slot valid widths (prefill only)
+    lora: dict | None = None,  # {target: {"a": [L,N,...], "b": [L,N,...]}}
+    lora_w=None,  # [B, N] per-slot adapter mixing weights (see _lora_pair)
 ):
     """Dense-cache causal transformer step; returns (y, k_cache, v_cache).
 
@@ -114,6 +154,11 @@ def cache_forward(
     * tuple of per-layer arrays — used inside the frame-decode scan, where
       scanning a stacked cache as xs costs ~0.12 ms/frame of slice/restack
       (profiled); separate carries update in place with plain DUS.
+
+    ``lora``/``lora_w``: optional per-slot multi-adapter serving — every
+    leaf of ``lora`` carries a leading layer axis followed by an adapter
+    axis ([L, N, ...]); each batch slot mixes its own adapter's low-rank
+    delta into the four backbone matmuls (runtime.engine.set_adapter_bank).
     """
     if t_valid is not None:
         def write(cache, new):
@@ -126,25 +171,33 @@ def cache_forward(
         kcs, vcs = [], []
         for i in range(len(k_cache)):
             p_layer = jax.tree.map(lambda a: a[i], params)
-            q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
+            lo = (None if lora is None
+                  else jax.tree.map(lambda a: a[i], lora))
+            q, k, v = _qkv(p_layer, x, n_heads, cos, sin, lo, lora_w)
             kc = write(k_cache[i], k)
             vc = write(v_cache[i], v)
             attn = causal_cache_attention(q, kc, vc, pos)
-            x = _post_attn(p_layer, x, attn)
+            x = _post_attn(p_layer, x, attn, lo, lora_w)
             kcs.append(kc)
             vcs.append(vc)
         return x, tuple(kcs), tuple(vcs)
 
     def layer(x, xs):
-        p_layer, kc, vc = xs
-        q, k, v = _qkv(p_layer, x, n_heads, cos, sin)
+        if lora is None:
+            p_layer, kc, vc = xs
+            lo = None
+        else:
+            p_layer, lo, kc, vc = xs
+        q, k, v = _qkv(p_layer, x, n_heads, cos, sin, lo, lora_w)
         kc = write(kc, k)
         vc = write(vc, v)
         attn = causal_cache_attention(q, kc, vc, pos)
-        return _post_attn(p_layer, x, attn), (kc, vc)
+        return _post_attn(p_layer, x, attn, lo, lora_w), (kc, vc)
 
-    y, (k_cache, v_cache) = lax.scan(layer, x, (params, k_cache, v_cache),
-                                     unroll=True)
+    xs = ((params, k_cache, v_cache) if lora is None
+          else (params, lora, k_cache, v_cache))
+    y, caches = lax.scan(layer, x, xs, unroll=True)
+    k_cache, v_cache = caches
     return y, k_cache, v_cache
 
 

@@ -171,6 +171,106 @@ def load_lora_params(path) -> tuple[dict, int, float]:
     return lora, rank, alpha
 
 
+# --------------------------------------------------------------------------
+# Adapter bank: N adapters stacked for per-slot batched serving.
+# --------------------------------------------------------------------------
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AdapterBank:
+    """N LoRA adapters stacked along an adapter axis for PER-SLOT batched
+    serving (VERDICT r4 #5): ``stacks[target] = {"a": [L, N, (3,) r, in],
+    "b": [L, N, (3,) out, r]}`` rides the batched decode programs as a jit
+    argument, and each slot selects its adapter with a one-hot x alpha/rank
+    row of ``row()`` — so concurrent requests with DIFFERENT fine-tuned
+    voices share one decode loop instead of serializing through per-adapter
+    merged engines (server/app.py previously bypassed the batcher for any
+    ``adapter`` request).
+
+    Layout: leading layer axis first (the backbone layer scan consumes the
+    stacks as scan xs — transformer.cache_forward), adapter axis second.
+    Ranks may differ per adapter; factors are zero-padded to the bank's max
+    rank (zero rows of A with zero columns of B contribute nothing).  Only
+    backbone targets (``tf/...``, the LORA_DEFAULT_TARGETS set) are
+    bankable: other subtrees never ride the per-layer scan.
+    """
+
+    names: tuple[str, ...]
+    stacks: dict          # {tf-key: {"a": [L,N,...,r,in], "b": [L,N,...,out,r]}}
+    scales: np.ndarray    # [N] alpha/rank per adapter
+
+    @property
+    def n(self) -> int:
+        return len(self.names)
+
+    def row(self, name: str | None) -> np.ndarray:
+        """Per-slot mixing row [N]: one-hot x (alpha/rank); zeros = base."""
+        w = np.zeros((self.n,), np.float32)
+        if name is not None:
+            try:
+                i = self.names.index(name)
+            except ValueError:
+                raise KeyError(f"adapter {name!r} not in bank "
+                               f"{self.names}") from None
+            w[i] = self.scales[i]
+        return w
+
+
+def build_adapter_bank(adapters: dict[str, str]) -> AdapterBank:
+    """Load LoRA artifacts and stack them into an :class:`AdapterBank`.
+
+    ``adapters``: name -> path of ``LORA_FORMAT`` artifacts.  Raises
+    ValueError for non-LoRA artifacts or targets outside the backbone
+    (those adapters must keep the merged single-stream path)."""
+    if not adapters:
+        raise ValueError("adapter bank needs at least one adapter")
+    loaded = {}
+    for name, path in adapters.items():
+        lora, rank, alpha = load_lora_params(path)
+        bad = [t for t in lora if not t.startswith("tf/")]
+        if bad:
+            raise ValueError(
+                f"adapter {name!r}: targets {bad} are outside the backbone "
+                f"(tf/...); only backbone-target LoRA adapters can ride the "
+                f"batched adapter bank")
+        loaded[name] = (lora, rank, alpha)
+    names = tuple(loaded)
+    r_max = max(rank for _, rank, _ in loaded.values())
+    targets = sorted({t for lora, _, _ in loaded.values() for t in lora})
+    stacks: dict = {}
+    for tpath in targets:
+        key = tpath[len("tf/"):]
+        a_parts, b_parts = [], []
+        for name in names:
+            lora, rank, _ = loaded[name]
+            fac = lora.get(tpath)
+            if fac is None:
+                # adapter doesn't touch this target: identity (zero delta).
+                # Shapes come from any adapter that does.
+                ref = next(l[tpath] for l, _, _ in loaded.values()
+                           if tpath in l)
+                a = np.zeros_like(np.asarray(ref["a"]))
+                b = np.zeros_like(np.asarray(ref["b"]))
+            else:
+                a, b = np.asarray(fac["a"]), np.asarray(fac["b"])
+            if a.shape[-2] < r_max:  # zero-pad rank: delta unchanged
+                pad = r_max - a.shape[-2]
+                a = np.concatenate(
+                    [a, np.zeros((*a.shape[:-2], pad, a.shape[-1]), a.dtype)],
+                    axis=-2)
+                b = np.concatenate(
+                    [b, np.zeros((*b.shape[:-1], pad), b.dtype)], axis=-1)
+            a_parts.append(a)
+            b_parts.append(b)
+        stacks[key] = {"a": jnp.asarray(np.stack(a_parts, axis=1), jnp.float32),
+                       "b": jnp.asarray(np.stack(b_parts, axis=1), jnp.float32)}
+    scales = np.asarray([alpha / rank for _, rank, alpha in loaded.values()],
+                        np.float32)
+    return AdapterBank(names=names, stacks=stacks, scales=scales)
+
+
 def apply_lora(model, path):
     """Clone ``model`` with the adapter merged into its FlowLM — inference
     runs the ordinary dense path (zero adapter overhead per step)."""
