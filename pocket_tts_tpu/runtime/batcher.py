@@ -96,6 +96,9 @@ class _Request:
     gen: GenParams
     out: queue.Queue
     latency_sensitive: bool = False  # streaming consumer (vs whole-WAV)
+    # [N] adapter-bank mixing row (None = base model): the request's decode
+    # AND text prefills run through its fine-tuned LoRA delta per slot
+    lora_row: np.ndarray | None = None
     segments: list = dataclasses.field(default_factory=list)
     emitted_upto: int = 0  # next segment index to stream out
     finished: bool = False
@@ -137,10 +140,16 @@ class ContinuousBatcher:
 
     def __init__(self, model: TTSModel, batch_size: int = 4,
                  chunk_frames: int = 8, seed: int = 0, depth: int = 2,
-                 warm_chunk: int | None = None):
+                 warm_chunk: int | None = None, adapter_bank=None):
         self.model = model
         self.batch = batch_size
         self.chunk = chunk_frames
+        # Multi-adapter serving (training.lora.AdapterBank): requests carry a
+        # per-slot LoRA mixing row; dispatches with any adapter slot resident
+        # take the lora decode programs, base-only batches keep the plain
+        # ones (a zero row is an exact no-op, so mid-batch program switches
+        # never change base lanes' audio)
+        self.bank = adapter_bank
         # Warm-up ramp: while any active slot is still "young" (dispatched
         # fewer than ramp_frames), the loop uses this smaller chunk AND caps
         # the pipeline to one in-flight dispatch.  Rationale (measured on the
@@ -171,6 +180,8 @@ class ContinuousBatcher:
         # overshoot is computed-and-discarded, same as single-stream).
         self.depth = max(1, depth)
         self.engine = Engine(model.config, model.params, batch_size=batch_size)
+        if adapter_bank is not None:
+            self.engine.set_adapter_bank(adapter_bank)
         self.tokenizer = model.tokenizer
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
         self._submit: queue.Queue[_Segment] = queue.Queue()
@@ -227,29 +238,39 @@ class ContinuousBatcher:
         # the decode thread.  Chained state -> stays serial (and fast: the
         # program is small).
         vs = self.model.get_voice_state().as_dict()
+        zero_row = (np.zeros((self.bank.n,), np.float32)
+                    if self.bank is not None else None)
         for width in tuple(getattr(engine._rcfg, "text_buckets", (8,))):
             row = jax.device_put(np.ones((1, width), np.int32))
             state = engine.admit_prefill_slot(state, 0, vs, row, 1)
+            if zero_row is not None:  # the lora admission program, per bucket
+                state = engine.admit_prefill_slot(state, 0, vs, row, 1,
+                                                  lora_row=zero_row)
         chunks = sorted({self.warm_chunk, min(self.press_chunk, self.chunk),
                          min(self.serve_chunk, self.chunk), self.chunk})
         windows = tuple(getattr(engine._rcfg, "window_buckets", ())) + (0,)
         temps = np.full((self.batch,), gen.temp, np.float32)
         eos_th = np.full((self.batch,), gen.eos_threshold, np.float32)
 
-        def variant(k, w, ceil):
+        def variant(k, w, ceil, lora=False):
             # fresh state per variant: positions stay at 0 so every window
             # capacity is valid regardless of completion order
             st = engine.new_state(self.batch)
             vec = ({} if ceil is None else
                    {"lsd_vec": np.full((self.batch,), ceil, np.int32),
                     "clamp_vec": np.full((self.batch,), -1.0, np.float32)})
+            if lora:  # the adapter-slot decode programs (zero rows compile
+                # the same program shape real rows dispatch)
+                vec["lora_w"] = np.zeros((self.batch, self.bank.n),
+                                         np.float32)
             _, _, audio, _ = engine.decode_frames(
                 st, key, k, gen, temps=temps, eos_thresholds=eos_th,
                 window=w, **vec)
             return audio
 
-        tasks = [(k, w, c) for k in chunks for w in windows
-                 for c in (None, *vec_ceilings)]
+        loras = (False, True) if self.bank is not None else (False,)
+        tasks = [(k, w, c, lo) for k in chunks for w in windows
+                 for c in (None, *vec_ceilings) for lo in loras]
         if parallel > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -330,7 +351,8 @@ class ContinuousBatcher:
     def submit(self, text: str, voice: VoiceState | None = None,
                gen: GenParams | None = None, *, pauses: bool = True,
                latency_sensitive: bool = True,
-               frames_after_eos: int | None = None) -> queue.Queue:
+               frames_after_eos: int | None = None,
+               adapter: str | None = None) -> queue.Queue:
         """Enqueue a request; returns a queue of float32 chunks ending with a
         sentinel (use :meth:`stream` for an iterator).
 
@@ -344,16 +366,29 @@ class ContinuousBatcher:
 
         ``frames_after_eos``: extra frames synthesized past EOS detection for
         EVERY text segment; None derives it per sentence from the text length
-        (same override semantics as TTSModel.generate, tts.py)."""
+        (same override semantics as TTSModel.generate, tts.py).
+
+        ``adapter``: a name from the batcher's AdapterBank — this request's
+        prefill + decode run through that fine-tuned LoRA delta on its slot
+        while other slots concurrently serve other adapters (or the base
+        model).  NOTE the voice state should be prefilled through the SAME
+        adapter's backbone (the server keeps per-adapter voice caches)."""
         if not text or not text.strip():
             raise ValueError("Text prompt cannot be empty")
         if self._dead:
             raise RuntimeError("batcher decode loop has crashed; restart it")
+        lora_row = None
+        if adapter is not None:
+            if self.bank is None:
+                raise ValueError(f"adapter {adapter!r} requested but this "
+                                 f"batcher has no adapter bank")
+            lora_row = self.bank.row(adapter)  # raises KeyError if unknown
         if voice is None:
             voice = self.model.get_voice_state()
         gen = gen or self.model.gen
         req = _Request(voice=voice, gen=gen, out=queue.Queue(),
-                       latency_sensitive=latency_sensitive)
+                       latency_sensitive=latency_sensitive,
+                       lora_row=lora_row)
         req.out._pocket_request = req  # lets stream() cancel on disconnect
 
         if pauses:
@@ -423,12 +458,13 @@ class ContinuousBatcher:
 
     def stream(self, text: str, voice: VoiceState | None = None,
                gen: GenParams | None = None,
-               timeout: float = 300.0, *, pauses: bool = True
-               ) -> Iterator[np.ndarray]:
+               timeout: float = 300.0, *, pauses: bool = True,
+               adapter: str | None = None) -> Iterator[np.ndarray]:
         """Iterator of audio chunks.  Abandoning the iterator (client
         disconnect) CANCELS the request: its remaining segments retire
         instead of decoding to completion in occupied slots."""
-        req_out = self.submit(text, voice, gen, pauses=pauses)
+        req_out = self.submit(text, voice, gen, pauses=pauses,
+                              adapter=adapter)
         req = getattr(req_out, "_pocket_request", None)
         try:
             while True:
@@ -459,9 +495,10 @@ class ContinuousBatcher:
             self._stats["requests_cancelled"] += 1
 
     def generate(self, text: str, voice: VoiceState | None = None,
-                 gen: GenParams | None = None, *, pauses: bool = True) -> np.ndarray:
+                 gen: GenParams | None = None, *, pauses: bool = True,
+                 adapter: str | None = None) -> np.ndarray:
         out = self.submit(text, voice, gen, pauses=pauses,
-                          latency_sensitive=False)
+                          latency_sensitive=False, adapter=adapter)
         return self._drain(out)
 
     def _drain(self, out: queue.Queue) -> np.ndarray:
@@ -616,7 +653,12 @@ class ContinuousBatcher:
         # hard zero-clamp, so None must NOT be encoded as 0)
         lsd = np.ones((self.batch,), np.int32)
         clamp = np.full((self.batch,), -1.0, np.float32)
-        vecs = None        # device copies of the four per-slot vectors
+        # [B, N] per-slot adapter mixing rows (bank mode); freed lanes keep
+        # stale rows like temps — their output is discarded either way, and
+        # re-admission always rewrites the row
+        low = (np.zeros((self.batch, self.bank.n), np.float32)
+               if self.bank is not None else None)
+        vecs = None        # device copies of the per-slot vectors
         vecs_dirty = True  # re-uploaded only when slot occupancy changes
         waiting: list[_Segment] = []  # decode-thread-only admission queue
         pending: list = []  # in-flight (owners, k, audio, is_eos) to fetch
@@ -690,7 +732,11 @@ class ContinuousBatcher:
                 slot = slots[i]
                 state = engine.admit_prefill_slot(
                     state, i, seg.request.voice.as_dict(),
-                    seg.d_tokens, seg.n_tokens)
+                    seg.d_tokens, seg.n_tokens,
+                    lora_row=seg.request.lora_row)
+                if low is not None:
+                    row = seg.request.lora_row
+                    low[i] = 0.0 if row is None else row
                 slot.segment = seg
                 slot.dispatched = 0
                 seg.frames_routed = 0   # fresh start (preemption re-queues)
@@ -740,9 +786,18 @@ class ContinuousBatcher:
             # (engine.decode_frames: validity check + pow2 step ceiling), so
             # device copies would force blocking device->host reads there.
             if vecs_dirty or vecs is None:
-                vecs = jax.device_put((temps.copy(), eos_th.copy()))
+                vecs = jax.device_put(
+                    (temps.copy(), eos_th.copy(),
+                     low.copy() if low is not None else np.zeros(0)))
                 vecs_dirty = False
-            d_temps, d_eos = vecs
+            d_temps, d_eos, d_low = vecs
+            # lora decode programs only while an adapter segment is resident:
+            # a zero row is an exact no-op, so base lanes are bit-identical
+            # under either program and the plain path stays zero-overhead
+            lora_on = low is not None and any(
+                s.segment is not None
+                and s.segment.request.lora_row is not None for s in slots)
+            lora_kw = {"lora_w": d_low} if lora_on else {}
             # Batches where every active slot matches the server DEFAULTS (the
             # common case: nobody overrides lsd/noise_clamp) take the plain
             # static decode — the per-slot vec program pays ~10% for masked
@@ -761,12 +816,12 @@ class ContinuousBatcher:
             if default_only:
                 state, _, audio, is_eos = engine.decode_frames(
                     state, key, k, gen, temps=d_temps,
-                    eos_thresholds=d_eos, window=window)
+                    eos_thresholds=d_eos, window=window, **lora_kw)
             else:
                 state, _, audio, is_eos = engine.decode_frames(
                     state, key, k, gen, temps=d_temps,
                     eos_thresholds=d_eos, window=window, lsd_vec=lsd,
-                    clamp_vec=clamp)
+                    clamp_vec=clamp, **lora_kw)
             for s in active:
                 s.dispatched += k
             with self._lock:
@@ -900,12 +955,14 @@ class ContinuousBatcher:
 
 def batched_tts(model: TTSModel, batch_size: int = 4,
                 chunk_frames: int = 8, depth: int = 2,
-                warm_chunk: int | None = None) -> ContinuousBatcher:
+                warm_chunk: int | None = None,
+                adapter_bank=None) -> ContinuousBatcher:
     b = ContinuousBatcher(model, batch_size, chunk_frames, depth=depth,
                           # warm 4 beats 8 under the depth-0 pre-first-audio
                           # policy (A/B at B=16: p50 med 170 vs 191 ms, p90
                           # 229 vs 256); the older "warm 4 worse" result was
                           # an artifact of the fetch-behind-dispatch ride
-                          warm_chunk=warm_chunk or min(4, chunk_frames))
+                          warm_chunk=warm_chunk or min(4, chunk_frames),
+                          adapter_bank=adapter_bank)
     b.start()
     return b

@@ -43,12 +43,18 @@ class ServerState:
     def __init__(self, model: TTSModel, *, voice_cache_capacity: int = 8,
                  default_voice: str = voices_mod.DEFAULT_VOICE,
                  batcher=None, adapters: dict[str, str] | None = None,
-                 adapter_cache_capacity: int = 2):
+                 adapter_cache_capacity: int = 2,
+                 bankable: frozenset = frozenset()):
         self.model = model
         self.cache = voices_mod.VoiceStateCache(voice_cache_capacity)
         self.default_voice = default_voice
         self.batcher = batcher  # ContinuousBatcher: concurrent requests share
         # one resident decode loop instead of serializing behind self.lock
+        # Adapter names in the batcher's AdapterBank: requests for these ride
+        # the batched decode loop as per-slot LoRA rows (concurrent multi-
+        # adapter serving); other adapters (full-checkpoint fine-tunes,
+        # non-backbone targets) keep the merged single-stream path
+        self.bankable = bankable
         # Fine-tuned voices: name -> checkpoint/LoRA artifact path (CLI
         # --adapter).  Adapted models build lazily into a small LRU — each
         # holds its own FlowLM copy in HBM (the Mimi/text subtrees alias the
@@ -280,15 +286,19 @@ def create_app(state: ServerState):
         # one slot of a B=16 batch); concurrent traffic rides the batch.
         # locked() check + `async with` with no await between them is atomic
         # on the event loop, so two coroutines cannot both pick single-stream.
-        # Adapter requests never ride the batcher: its resident decode loop
-        # holds ONE param set (the base model's).
-        if (state.batcher is not None and cont <= 0 and not body.get("adapter")
+        # BANKABLE adapter requests ride the batcher as per-slot LoRA rows
+        # (the voice state above was prefilled through the adapted backbone
+        # via the per-adapter cache); other adapters keep the merged
+        # single-stream path.
+        adapter = str(body["adapter"]) if body.get("adapter") else None
+        if (state.batcher is not None and cont <= 0
+                and (adapter is None or adapter in state.bankable)
                 and (state.lock.locked() or not state.batcher.idle())):
             # per-request lsd_decode_steps / noise_clamp ride the batch as
             # per-slot data (engine lsd_vec/clamp_vec) — no single-flight path
             wav = await loop.run_in_executor(
                 state.pool, lambda: state.batcher.generate(
-                    str(text), voice, model.gen))
+                    str(text), voice, model.gen, adapter=adapter))
         else:
             # single-stream path: lone requests (occupancy 1) and
             # continuation requests, whose per-segment conditioning depends
@@ -376,7 +386,8 @@ def create_app(state: ServerState):
         def producer():
             try:
                 if use_batcher:
-                    source = state.batcher.stream(str(text), voice, model.gen)
+                    source = state.batcher.stream(str(text), voice, model.gen,
+                                                  adapter=adapter)
                 else:
                     source = model.generate_stream_long(
                         str(text), voice, continuation_frames=cont)
@@ -403,8 +414,9 @@ def create_app(state: ServerState):
         # worst case a second stream rides the batcher (slightly higher
         # latency than the exclusive single-stream engine) or briefly queues
         # on the lock.  Correctness never depends on the snapshot.
+        adapter = str(body["adapter"]) if body.get("adapter") else None
         use_batcher = (state.batcher is not None and cont <= 0
-                       and not body.get("adapter")
+                       and (adapter is None or adapter in state.bankable)
                        and (state.lock.locked() or not state.batcher.idle()))
         ctx = contextlib.nullcontext() if use_batcher else state.lock
         held: list[bytes] = []  # wav_compat pre-buffer (header + first bytes)
@@ -525,18 +537,32 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
     so a typo fails at startup, not on the first request."""
     from aiohttp import web
 
+    bank = None
     if adapters:
         from safetensors import safe_open
 
         from pocket_tts_tpu.training.lora import LORA_FORMAT
         from pocket_tts_tpu.training.trainer import FINETUNED_FORMAT
 
+        bankable_paths: dict[str, str] = {}
         for name, path in adapters.items():
             with safe_open(str(path), framework="numpy") as f:
                 fmt = (f.metadata() or {}).get("format")
+                # backbone-only LoRA adapters can ride the batched decode
+                # loop as per-slot rows (AdapterBank); anything else keeps
+                # the merged single-stream path
+                if fmt == LORA_FORMAT and all(
+                        k.startswith("tf/") for k in f.keys()):
+                    bankable_paths[name] = str(path)
             if fmt not in (FINETUNED_FORMAT, LORA_FORMAT):
                 raise ValueError(f"adapter {name!r}: {path} has unknown "
                                  f"format {fmt!r}")
+        if bankable_paths and batch_size > 1:
+            from pocket_tts_tpu.training.lora import build_adapter_bank
+
+            bank = build_adapter_bank(bankable_paths)
+            logger.info("adapter bank: %s ride the batched decode loop",
+                        sorted(bank.names))
 
     batcher = None
     if batch_size > 1:
@@ -546,10 +572,12 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
         # the admission ramp + serve chunk keep streaming first-chunk
         # latency bounded (docs/performance.md "Batched serving latency")
         batcher = batched_tts(model, batch_size=batch_size, chunk_frames=64,
-                              depth=2)
+                              depth=2, adapter_bank=bank)
     state = ServerState(model, voice_cache_capacity=voice_cache_capacity,
                         default_voice=default_voice, batcher=batcher,
-                        adapters=adapters)
+                        adapters=adapters,
+                        bankable=(frozenset(bank.names) if bank is not None
+                                  else frozenset()))
     state.resolve(default_voice)
     for name in prewarm:
         state.resolve(name)

@@ -232,3 +232,63 @@ class TestEngineE2E:
             eng.decode_frames(st, jax.random.PRNGKey(0), 2,
                               GenParams(temp=0.0),
                               lora_w=np.zeros((2, 1), np.float32))
+
+
+class TestBatcherAdapters:
+    """Concurrent requests with DIFFERENT adapter fields ride ONE batched
+    decode loop (the server previously serialized them through per-adapter
+    merged engines — ROADMAP 'adapter traffic bypasses the batcher')."""
+
+    TEXT = "The quick brown fox jumps over the lazy dog."
+
+    def test_concurrent_mixed_adapters_match_merged(self, base, bank_paths):
+        from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
+
+        paths, loaded = bank_paths
+        bank = build_adapter_bank(paths)
+        model = TTSModel(CFG, base, gen=GenParams(temp=0.0),
+                         has_real_weights=False)
+        b = ContinuousBatcher(model, batch_size=3, chunk_frames=4,
+                              adapter_bank=bank)
+        b.start()
+        names = ["one", None, "two"]
+        try:
+            outs = [b.submit(self.TEXT, adapter=n, latency_sensitive=False)
+                    for n in names]
+            got = [b._drain(o) for o in outs]
+        finally:
+            b.stop()
+        refs = []
+        for i, name in enumerate(names):
+            if name is None:
+                ref_model = model
+            else:
+                lora, rank, alpha = loaded[name]
+                merged = {**base, "flow_lm": merge_lora(
+                    base["flow_lm"], lora, alpha=alpha, rank=rank)}
+                ref_model = TTSModel(CFG, merged, gen=GenParams(temp=0.0),
+                                     has_real_weights=False)
+            want = ref_model.generate_with_pauses(self.TEXT)
+            refs.append(want)
+            assert got[i].shape == want.shape, f"slot {i} ({name})"
+            corr = np.corrcoef(got[i], want)[0, 1]
+            assert corr > 0.999, f"slot {i} ({name}): corr {corr}"
+            np.testing.assert_allclose(got[i], want, atol=2e-3,
+                                       err_msg=f"slot {i} ({name})")
+        # sanity: the adapters actually change the audio (same text/voice)
+        n = min(len(refs[0]), len(refs[1]))
+        assert not np.allclose(refs[0][:n], refs[1][:n], atol=2e-3)
+
+    def test_unknown_or_bankless_adapter_raises(self, base, bank_paths):
+        from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
+
+        paths, _ = bank_paths
+        model = TTSModel(CFG, base, gen=GenParams(temp=0.0),
+                         has_real_weights=False)
+        b = ContinuousBatcher(model, batch_size=2, chunk_frames=4)
+        with pytest.raises(ValueError, match="no adapter bank"):
+            b.submit(self.TEXT, adapter="one")
+        b2 = ContinuousBatcher(model, batch_size=2, chunk_frames=4,
+                               adapter_bank=build_adapter_bank(paths))
+        with pytest.raises(KeyError, match="nope"):
+            b2.submit(self.TEXT, adapter="nope")
