@@ -789,8 +789,14 @@ class Engine:
         two budgets cannot drift."""
         return max(self._rcfg.text_buckets) + 192
 
-    def encode_voice(self, audio: np.ndarray) -> tuple[jnp.ndarray, int]:
+    def encode_voice(self, audio: np.ndarray,
+                     cap: bool = True) -> tuple[jnp.ndarray, int]:
         """24 kHz mono [T] or [1, T] -> ([1, >=frames, d_model] conditioning, frames).
+
+        ``cap=False`` skips the cache-budget truncation and encodes the WHOLE
+        prompt (the chunked streaming encoder handles any length) — used by
+        the compressive overflow mode (tts.get_voice_state_from_audio), which
+        selects a budget-sized subset of the frames AFTER encoding.
 
         The returned conditioning keeps its BUCKET-PADDED width (frames
         beyond the returned count are causal-padding garbage — consumers
@@ -815,7 +821,7 @@ class Engine:
             raise ValueError(
                 f"max_seq={self._rcfg.max_seq} leaves no room for voice "
                 f"prompts after the generation reserve ({reserve} frames)")
-        if audio.shape[-1] > max_frames * self.frame_size:
+        if cap and audio.shape[-1] > max_frames * self.frame_size:
             logger.warning(
                 "voice prompt %0.1f s exceeds the cache budget (%d frames); "
                 "truncating", audio.shape[-1] / self.cfg.mimi.sample_rate,

@@ -234,18 +234,21 @@ class TTSModel:
     # -- voice states --------------------------------------------------------
 
     def get_voice_state(self, source: str | Path | bytes | None = None,
-                        truncate: bool = False) -> VoiceState:
+                        truncate: bool = False,
+                        overflow: str = "truncate") -> VoiceState:
         """Voice state from ``source``, or the unconditioned (empty) state.
 
         ``source`` may be a WAV path/bytes (runs the Mimi encoder — the
         reference's ``get_voice_state(path)``, tts_model.rs:449) or an
         ``audio_prompt`` safetensors path (the stock-voice artifact,
-        tts_model.rs:465-501)."""
+        tts_model.rs:465-501).  ``overflow``: over-budget prompt policy
+        (see get_voice_state_from_audio)."""
         if source is not None:
             if (isinstance(source, (str, Path))
                     and str(source).endswith(".safetensors")):
                 return self.get_voice_state_from_prompt_file(source)
-            return self.get_voice_state_from_wav(source, truncate=truncate)
+            return self.get_voice_state_from_wav(source, truncate=truncate,
+                                                 overflow=overflow)
         if self._empty_voice["vs"] is None:
             st = self.engine.new_state()
             self._empty_voice["vs"] = VoiceState(st["kc"], st["vc"],
@@ -253,17 +256,57 @@ class TTSModel:
         return self._empty_voice["vs"]
 
     def get_voice_state_from_wav(self, path: str | Path | bytes,
-                                 truncate: bool = False) -> VoiceState:
+                                 truncate: bool = False,
+                                 overflow: str = "truncate") -> VoiceState:
         wav, sr = audio_io.read_wav(path)
         if truncate:
             wav = wav[..., : 30 * sr]
         wav = audio_io.convert_audio(wav, sr, self.sample_rate, 1)
-        return self.get_voice_state_from_audio(wav)
+        return self.get_voice_state_from_audio(wav, overflow=overflow)
 
-    def get_voice_state_from_audio(self, wav: np.ndarray) -> VoiceState:
+    def get_voice_state_from_audio(self, wav: np.ndarray,
+                                   overflow: str = "truncate") -> VoiceState:
         """24 kHz mono waveform -> voice state via the Mimi encoder + speaker
-        projection + conditioning prefill (tts_model.rs:504-560)."""
-        cond, n_frames = self.engine.encode_voice(wav)
+        projection + conditioning prefill (tts_model.rs:504-560).
+
+        ``overflow`` controls prompts longer than the cache budget
+        (max_seq minus the generation reserve, ~71 s at the default 1024 —
+        the reference shares the bound and truncates, tts_model.rs:530):
+
+        * ``"truncate"`` (default, reference behavior): keep the prompt head.
+        * ``"compress"``: encode the WHOLE prompt, then keep the first
+          budget/4 frames (the speaker-identity onset — the "attention sink"
+          prefix streaming LLMs must retain, Xiao et al. arXiv:2309.17453)
+          plus the most recent 3·budget/4 frames, prefilled contiguously.
+          A >71 s voice keeps both how the speaker STARTS and how they sound
+          NOW, instead of losing the entire recent half.  One-time host
+          round-trip of the full conditioning per voice.  For exact long
+          prompts use ``load_with_params(max_seq=<bigger>)`` instead — this
+          mode is for a fixed cache.
+        """
+        if overflow not in ("truncate", "compress"):
+            raise ValueError(f"overflow must be 'truncate' or 'compress', "
+                             f"got {overflow!r}")
+        if overflow == "compress":
+            cond, n_frames = self.engine.encode_voice(wav, cap=False)
+            budget = (self.engine._rcfg.max_seq - self.engine.prompt_reserve)
+            if n_frames > budget:
+                sink = budget // 4
+                recent = budget - sink
+                # host-side selection: a device gather would compile per
+                # distinct prompt length (seconds each on remote-compile
+                # backends); the f32 fetch is a one-time per-voice cost
+                full = np.asarray(jax.device_get(cond), np.float32)
+                cond = np.concatenate(
+                    [full[:, :sink], full[:, n_frames - recent: n_frames]],
+                    axis=1)
+                logger.info(
+                    "voice prompt %d frames > %d budget: compressed to "
+                    "%d-frame sink + %d-frame recency", n_frames, budget,
+                    sink, recent)
+                n_frames = budget
+        else:
+            cond, n_frames = self.engine.encode_voice(wav)
         return self._prefill_voice(cond, n_frames)
 
     def get_voice_state_from_prompt(self, prompt: np.ndarray) -> VoiceState:

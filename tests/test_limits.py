@@ -43,6 +43,69 @@ def test_overlong_voice_prompt_truncates(model, caplog):
     assert any("truncating" in r.message for r in caplog.records)
 
 
+def test_compress_overflow_sink_plus_recency(model, caplog):
+    """overflow="compress" (VERDICT r4 #9): an over-budget prompt keeps the
+    first budget/4 frames (speaker-identity onset / attention sink) plus the
+    most recent 3*budget/4 frames, instead of losing the entire recent half
+    to head truncation.  Verified against a direct prefill of the manually
+    spliced waveform-equivalent conditioning."""
+    import dataclasses
+
+    import jax
+
+    from pocket_tts_tpu.runtime.engine import GenParams as GP
+    from pocket_tts_tpu.tts import TTSModel as TM
+
+    cfg = dataclasses.replace(
+        CFG, runtime=dataclasses.replace(CFG.runtime, max_seq=384,
+                                         voice_prompt_chunk_frames=32))
+    m2 = TM(cfg, model.params, gen=GP(temp=0.0), has_real_weights=False)
+    budget = 384 - (max(cfg.runtime.text_buckets) + 192)  # 128 frames
+    over = budget + 40
+    wav = np.random.default_rng(1).normal(
+        size=over * m2.frame_size).astype(np.float32) * 0.1
+    with caplog.at_level(logging.INFO):
+        vs = m2.get_voice_state_from_audio(wav, overflow="compress")
+    assert vs.length == budget
+    assert "sink" in caplog.text
+    # reference: encode the whole prompt uncapped and prefill the same
+    # frame selection directly
+    cond, n_frames = m2.engine.encode_voice(wav, cap=False)
+    assert n_frames == over  # cap=False really encoded everything
+    full = np.asarray(jax.device_get(cond), np.float32)
+    sink = budget // 4
+    sel = np.concatenate(
+        [full[:, :sink], full[:, n_frames - (budget - sink): n_frames]],
+        axis=1)
+    direct = m2._prefill_voice(sel, budget)
+    a = m2.generate("Compressed voice speaks.", vs)
+    b = m2.generate("Compressed voice speaks.", direct)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # and the STATE differs from plain head-truncation (the old behavior) —
+    # audio divergence can't be the assert with random weights: swapping
+    # which statistically-identical random frames condition the cache moves
+    # the output by only ~3e-5 (real speech frames are not exchangeable)
+    trunc = m2.get_voice_state_from_audio(wav)  # default overflow
+    kc_c = np.asarray(jax.device_get(vs.kc))
+    kc_t = np.asarray(jax.device_get(trunc.kc))
+    assert np.abs(kc_c - kc_t).max() > 1e-3
+
+
+def test_compress_overflow_noop_under_budget(model):
+    """Under the budget, compress == truncate == plain (same state)."""
+    import jax
+
+    wav = np.random.default_rng(2).normal(
+        size=20 * model.frame_size).astype(np.float32) * 0.1
+    v1 = model.get_voice_state_from_audio(wav, overflow="compress")
+    v2 = model.get_voice_state_from_audio(wav)
+    assert v1.length == v2.length == 20
+    np.testing.assert_array_equal(np.asarray(jax.device_get(v1.kc)),
+                                  np.asarray(jax.device_get(v2.kc)))
+    with pytest.raises(ValueError, match="overflow"):
+        model.get_voice_state_from_audio(wav, overflow="middle-out")
+
+
 def test_generation_respects_cache_budget(model):
     """max_seq bounds generation: a long text with a long voice prompt cannot
     overrun the KV cache (frames get clipped, not corrupted)."""
