@@ -235,7 +235,7 @@ class TTSModel:
 
     def get_voice_state(self, source: str | Path | bytes | None = None,
                         truncate: bool = False,
-                        overflow: str = "truncate") -> VoiceState:
+                        overflow: str | None = None) -> VoiceState:
         """Voice state from ``source``, or the unconditioned (empty) state.
 
         ``source`` may be a WAV path/bytes (runs the Mimi encoder — the
@@ -257,7 +257,7 @@ class TTSModel:
 
     def get_voice_state_from_wav(self, path: str | Path | bytes,
                                  truncate: bool = False,
-                                 overflow: str = "truncate") -> VoiceState:
+                                 overflow: str | None = None) -> VoiceState:
         wav, sr = audio_io.read_wav(path)
         if truncate:
             wav = wav[..., : 30 * sr]
@@ -265,7 +265,7 @@ class TTSModel:
         return self.get_voice_state_from_audio(wav, overflow=overflow)
 
     def get_voice_state_from_audio(self, wav: np.ndarray,
-                                   overflow: str = "truncate") -> VoiceState:
+                                   overflow: str | None = None) -> VoiceState:
         """24 kHz mono waveform -> voice state via the Mimi encoder + speaker
         projection + conditioning prefill (tts_model.rs:504-560).
 
@@ -283,7 +283,14 @@ class TTSModel:
           round-trip of the full conditioning per voice.  For exact long
           prompts use ``load_with_params(max_seq=<bigger>)`` instead — this
           mode is for a fixed cache.
+
+        ``overflow=None`` takes the process default from
+        ``POCKET_TTS_VOICE_OVERFLOW`` (itself defaulting to "truncate"), so
+        servers/CLIs inherit the policy without threading a flag through
+        every voice-resolution path.
         """
+        if overflow is None:
+            overflow = os.environ.get("POCKET_TTS_VOICE_OVERFLOW", "truncate")
         if overflow not in ("truncate", "compress"):
             raise ValueError(f"overflow must be 'truncate' or 'compress', "
                              f"got {overflow!r}")

@@ -91,8 +91,9 @@ def test_compress_overflow_sink_plus_recency(model, caplog):
     assert np.abs(kc_c - kc_t).max() > 1e-3
 
 
-def test_compress_overflow_noop_under_budget(model):
-    """Under the budget, compress == truncate == plain (same state)."""
+def test_compress_overflow_noop_under_budget(model, monkeypatch):
+    """Under the budget, compress == truncate == plain (same state); the
+    POCKET_TTS_VOICE_OVERFLOW env knob sets the process default."""
     import jax
 
     wav = np.random.default_rng(2).normal(
@@ -104,6 +105,12 @@ def test_compress_overflow_noop_under_budget(model):
                                   np.asarray(jax.device_get(v2.kc)))
     with pytest.raises(ValueError, match="overflow"):
         model.get_voice_state_from_audio(wav, overflow="middle-out")
+    monkeypatch.setenv("POCKET_TTS_VOICE_OVERFLOW", "sideways")
+    with pytest.raises(ValueError, match="overflow"):
+        model.get_voice_state_from_audio(wav)  # env default is validated too
+    monkeypatch.setenv("POCKET_TTS_VOICE_OVERFLOW", "compress")
+    v3 = model.get_voice_state_from_audio(wav)  # valid env default applies
+    assert v3.length == 20
 
 
 def test_generation_respects_cache_budget(model):
