@@ -280,9 +280,17 @@ def main():
         # ~115-340x with transport weather (docs/performance.md variance
         # note); the median is reproducible within ~±20%, the best is not.
         run_all()
-        f0 = batcher.stats()["frames_decoded"]
+        st0 = batcher.stats()
+        f0, u0 = st0["frames_decoded"], st0["useful_frames"]
         runs = sorted((run_all() for _ in range(5)), key=lambda r: r[1])
-        fetched_mb = (batcher.stats()["frames_decoded"] - f0) * 1920 * 2 / 1e6
+        st1 = batcher.stats()
+        fetched_mb = (st1["frames_decoded"] - f0) * 1920 * 2 / 1e6
+        # leg-scoped efficiency (snapshot deltas): lifetime counters would
+        # fold the staggered latency probes' preemption/ramp waste into the
+        # throughput leg's number, making cross-round comparison misleading
+        leg_frames = st1["frames_decoded"] - f0
+        extra["useful_ratio"] = (round((st1["useful_frames"] - u0)
+                                       / leg_frames, 3) if leg_frames else None)
         total, dt = runs[len(runs) // 2]
         btotal, bdt = runs[0]
         sum_dt = sum(r[1] for r in runs)
@@ -336,8 +344,8 @@ def main():
               f"p90 {lat_ms[int(len(lat_ms)*0.9)]:.0f} ms, "
               f"max {lat_ms[-1]:.0f} ms", file=sys.stderr)
         st = batcher.stats()
-        extra["useful_ratio"] = st["useful_ratio"]
-        print(f"batch efficiency: useful_frames/frames_decoded = "
+        print(f"batch efficiency: throughput-leg useful_ratio = "
+              f"{extra.get('useful_ratio')}; lifetime "
               f"{st['useful_frames']}/{st['frames_decoded']} = "
               f"{st['useful_ratio']} ({st['early_retirements']} early "
               f"lane retirements)", file=sys.stderr)

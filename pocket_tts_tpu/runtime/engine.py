@@ -320,61 +320,45 @@ class Engine:
 
     # -- prefill ----------------------------------------------------------
 
-    def _prefill_tokens_impl(self, params, kc, vc, pos, tokens, t_valid,
-                             lora=None, lora_w=None):
+    def _prefill_tokens_impl(self, params, kc, vc, pos, tokens, t_valid):
         emb = flow_lm.embed_text(params, tokens)
-        return flow_lm.prefill(params, self.cfg, kc, vc, pos, emb, t_valid,
-                               lora=lora, lora_w=lora_w)
+        return flow_lm.prefill(params, self.cfg, kc, vc, pos, emb, t_valid)
 
-    def _prefill_cond_impl(self, params, kc, vc, pos, cond, t_valid,
-                           lora=None, lora_w=None):
-        return flow_lm.prefill(params, self.cfg, kc, vc, pos, cond, t_valid,
-                               lora=lora, lora_w=lora_w)
-
-    def _lora_args(self, lora_w, batch: int):
-        """(stacks, [B, N] rows) jit args from a per-slot row matrix, a single
-        shared row, or None (plain programs)."""
-        if lora_w is None:
-            return None, None
-        if self._lora_stacks is None:
-            raise ValueError("lora_w requires set_adapter_bank() first")
-        w = np.asarray(lora_w, np.float32)
-        if w.ndim == 1:
-            w = np.broadcast_to(w, (batch, w.shape[0]))
-        return self._lora_stacks, jnp.asarray(w)
+    def _prefill_cond_impl(self, params, kc, vc, pos, cond, t_valid):
+        return flow_lm.prefill(params, self.cfg, kc, vc, pos, cond, t_valid)
 
     def prefill_tokens(self, state: dict, tokens: np.ndarray,
-                       n_valid: int | np.ndarray, lora_w=None) -> dict:
+                       n_valid: int | np.ndarray) -> dict:
         """``n_valid`` may be a per-slot [B] vector (continuous batching: slots
         with 0 valid tokens write only causally-invisible garbage beyond their
-        cursor and keep their position)."""
+        cursor and keep their position).
+
+        NOTE adapter serving does NOT thread lora rows through here: batched
+        text prefill rides admit_prefill_slot (which does), and voice states
+        for adapter requests prefill through the per-adapter MERGED model
+        (server/app.py _adapted_for) — keeping these prefills lora-free."""
         b = tokens.shape[0]
         bucket = _bucket(tokens.shape[1], self._rcfg.text_buckets)
         padded = np.zeros((b, bucket), np.int32)
         padded[:, : tokens.shape[1]] = tokens
         if np.isscalar(n_valid) or np.ndim(n_valid) == 0:
             n_valid = np.full((b,), n_valid, np.int32)
-        lo, lw = self._lora_args(lora_w, b)
         kc, vc, pos = self._prefill_tokens(
             self.params["flow_lm"], state["kc"], state["vc"], state["pos"],
             jnp.asarray(padded), jnp.asarray(np.asarray(n_valid, np.int32)),
-            lo, lw,
         )
         return {**state, "kc": kc, "vc": vc, "pos": pos}
 
     def prefill_conditioning(self, state: dict, cond: jnp.ndarray,
-                             n_valid: int, lora_w=None) -> dict:
-        """cond: [B, T, d_model] speaker conditioning (bucketed on T).
-        ``lora_w``: optional adapter row(s) — a voice state destined for
-        adapter slots must prefill through the adapted backbone."""
+                             n_valid: int) -> dict:
+        """cond: [B, T, d_model] speaker conditioning (bucketed on T)."""
         b, t = cond.shape[:2]
         bucket = _bucket(t, self._rcfg.prompt_buckets)
         if t < bucket:
             cond = jnp.pad(cond, ((0, 0), (0, bucket - t), (0, 0)))
-        lo, lw = self._lora_args(lora_w, b)
         kc, vc, pos = self._prefill_cond(
             self.params["flow_lm"], state["kc"], state["vc"], state["pos"],
-            cond, jnp.asarray(np.full((b,), n_valid, np.int32)), lo, lw,
+            cond, jnp.asarray(np.full((b,), n_valid, np.int32)),
         )
         return {**state, "kc": kc, "vc": vc, "pos": pos}
 

@@ -211,6 +211,18 @@ def create_app(state: ServerState):
                 content_type="application/json")
         return body
 
+    def _route_to_batcher(cont: int, adapter: str | None) -> bool:
+        """Occupancy-adaptive routing policy, shared by /generate and
+        /stream (the two handlers MUST agree or identical requests route
+        differently by endpoint): concurrent traffic rides the batcher —
+        including adapter requests the bank covers — while lone requests,
+        continuations, and non-bankable adapters take the single-stream
+        path.  The lock check + the caller's following `async with` have no
+        await between them, so the decision is atomic on the event loop."""
+        return (state.batcher is not None and cont <= 0
+                and (adapter is None or adapter in state.bankable)
+                and (state.lock.locked() or not state.batcher.idle()))
+
     async def _resolve_voice(body: dict, base: TTSModel | None = None,
                              vcache=None):
         """Voice resolution off the event loop (it can run the Mimi encoder —
@@ -243,13 +255,18 @@ def create_app(state: ServerState):
         if state.batcher is not None:
             st = state.batcher.stats()
             for key in ("dispatches", "warm_dispatches", "serve_dispatches",
-                        "frames_decoded", "preemptions", "requests_submitted",
-                        "requests_completed", "requests_cancelled"):
+                        "frames_decoded", "useful_frames",
+                        "early_retirements", "preemptions",
+                        "requests_submitted", "requests_completed",
+                        "requests_cancelled"):
                 lines.append(f"# TYPE pocket_tts_{key} counter")
                 lines.append(f"pocket_tts_{key} {st[key]}")
             for key in ("active_requests", "queued_segments"):
                 lines.append(f"# TYPE pocket_tts_{key} gauge")
                 lines.append(f"pocket_tts_{key} {st[key]}")
+            if st["useful_ratio"] is not None:  # batch compute efficiency
+                lines.append("# TYPE pocket_tts_useful_ratio gauge")
+                lines.append(f"pocket_tts_useful_ratio {st['useful_ratio']}")
             lines.append("# TYPE pocket_tts_batcher_dead gauge")
             lines.append(f"pocket_tts_batcher_dead {int(st['dead'])}")
         return web.Response(text="\n".join(lines) + "\n",
@@ -281,19 +298,11 @@ def create_app(state: ServerState):
         loop = asyncio.get_running_loop()
         voice = await _resolve_voice(body, base, vcache)
         cont = _int_field(body, "continuation_frames")
-        # Occupancy-adaptive routing: a lone request on an idle batched
-        # server takes the single-stream engine (~10x faster per stream than
-        # one slot of a B=16 batch); concurrent traffic rides the batch.
-        # locked() check + `async with` with no await between them is atomic
-        # on the event loop, so two coroutines cannot both pick single-stream.
-        # BANKABLE adapter requests ride the batcher as per-slot LoRA rows
-        # (the voice state above was prefilled through the adapted backbone
-        # via the per-adapter cache); other adapters keep the merged
-        # single-stream path.
+        # Routing: see _route_to_batcher.  Bankable adapter requests ride
+        # the batcher as per-slot LoRA rows (the voice state above was
+        # prefilled through the adapted backbone via the per-adapter cache).
         adapter = str(body["adapter"]) if body.get("adapter") else None
-        if (state.batcher is not None and cont <= 0
-                and (adapter is None or adapter in state.bankable)
-                and (state.lock.locked() or not state.batcher.idle())):
+        if _route_to_batcher(cont, adapter):
             # per-request lsd_decode_steps / noise_clamp ride the batch as
             # per-slot data (engine lsd_vec/clamp_vec) — no single-flight path
             wav = await loop.run_in_executor(
@@ -407,17 +416,14 @@ def create_app(state: ServerState):
 
         import contextlib
 
-        # occupancy-adaptive routing (see _generate_wav); decided here, with
-        # no await before the lock acquisition below, so the check is atomic
-        # on the event loop.  Occupancy CAN change earlier — voice resolution
-        # above awaits in the executor — but every stale outcome is benign:
-        # worst case a second stream rides the batcher (slightly higher
-        # latency than the exclusive single-stream engine) or briefly queues
-        # on the lock.  Correctness never depends on the snapshot.
+        # routing decided here with no await before the lock acquisition
+        # below (atomic on the event loop).  Occupancy CAN change earlier —
+        # voice resolution above awaits in the executor — but every stale
+        # outcome is benign: worst case a second stream rides the batcher
+        # (slightly higher latency than the exclusive single-stream engine)
+        # or briefly queues on the lock.  Correctness never depends on it.
         adapter = str(body["adapter"]) if body.get("adapter") else None
-        use_batcher = (state.batcher is not None and cont <= 0
-                       and (adapter is None or adapter in state.bankable)
-                       and (state.lock.locked() or not state.batcher.idle()))
+        use_batcher = _route_to_batcher(cont, adapter)
         ctx = contextlib.nullcontext() if use_batcher else state.lock
         held: list[bytes] = []  # wav_compat pre-buffer (header + first bytes)
         held_size = 0
@@ -544,15 +550,19 @@ def start_server(model: TTSModel, host: str = "0.0.0.0", port: int = 8000, *,
         from pocket_tts_tpu.training.lora import LORA_FORMAT
         from pocket_tts_tpu.training.trainer import FINETUNED_FORMAT
 
+        from pocket_tts_tpu.training.lora import bankable_lora_targets
+
         bankable_paths: dict[str, str] = {}
         for name, path in adapters.items():
             with safe_open(str(path), framework="numpy") as f:
                 fmt = (f.metadata() or {}).get("format")
-                # backbone-only LoRA adapters can ride the batched decode
-                # loop as per-slot rows (AdapterBank); anything else keeps
-                # the merged single-stream path
-                if fmt == LORA_FORMAT and all(
-                        k.startswith("tf/") for k in f.keys()):
+                # LoRA adapters whose targets all lie on the batched delta
+                # path can ride the decode loop as per-slot rows
+                # (AdapterBank); anything else keeps the merged
+                # single-stream path.  One shared definition of "bankable"
+                # (lora.bankable_lora_targets) — a prefix check here once
+                # admitted tf/norm1_w adapters the delta path silently drops
+                if fmt == LORA_FORMAT and bankable_lora_targets(f.keys()):
                     bankable_paths[name] = str(path)
             if fmt not in (FINETUNED_FORMAT, LORA_FORMAT):
                 raise ValueError(f"adapter {name!r}: {path} has unknown "

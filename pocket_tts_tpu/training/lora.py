@@ -201,6 +201,13 @@ class AdapterBank:
     stacks: dict          # {tf-key: {"a": [L,N,...,r,in], "b": [L,N,...,out,r]}}
     scales: np.ndarray    # [N] alpha/rank per adapter
 
+    # The ONLY targets the batched per-slot delta path applies
+    # (transformer._qkv/_post_attn read exactly these keys).  Bankability
+    # must be judged against this set, not a tf/ prefix: a tf/norm1_w
+    # adapter would stack fine and then be SILENTLY dropped at serving
+    # time, making audio depend on server occupancy.
+    SUPPORTED_TARGETS = frozenset(LORA_DEFAULT_TARGETS)
+
     @property
     def n(self) -> int:
         return len(self.names)
@@ -218,6 +225,15 @@ class AdapterBank:
         return w
 
 
+def bankable_lora_targets(keys) -> bool:
+    """True when every factor key (``<target>/a`` / ``<target>/b`` as stored
+    by save_lora_params) names a target the batched delta path applies —
+    the single definition of "bankable" shared by build_adapter_bank and
+    the server's startup gate."""
+    return all(k.rsplit("/", 1)[0] in AdapterBank.SUPPORTED_TARGETS
+               for k in keys)
+
+
 def build_adapter_bank(adapters: dict[str, str]) -> AdapterBank:
     """Load LoRA artifacts and stack them into an :class:`AdapterBank`.
 
@@ -229,12 +245,12 @@ def build_adapter_bank(adapters: dict[str, str]) -> AdapterBank:
     loaded = {}
     for name, path in adapters.items():
         lora, rank, alpha = load_lora_params(path)
-        bad = [t for t in lora if not t.startswith("tf/")]
+        bad = sorted(set(lora) - AdapterBank.SUPPORTED_TARGETS)
         if bad:
             raise ValueError(
-                f"adapter {name!r}: targets {bad} are outside the backbone "
-                f"(tf/...); only backbone-target LoRA adapters can ride the "
-                f"batched adapter bank")
+                f"adapter {name!r}: targets {bad} are outside the batched "
+                f"delta path ({sorted(AdapterBank.SUPPORTED_TARGETS)}); such "
+                f"adapters must keep the merged single-stream path")
         loaded[name] = (lora, rank, alpha)
     names = tuple(loaded)
     r_max = max(rank for _, rank, _ in loaded.values())

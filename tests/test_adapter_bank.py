@@ -88,13 +88,26 @@ class TestBankBuild:
         with pytest.raises(KeyError):
             bank.row("nope")
 
-    def test_rejects_non_backbone_targets(self, base, tmp_path):
-        lora = _random_lora(base["flow_lm"], rank=2, seed=3,
-                            targets=("tf/in_proj", "input_w"))
-        p = tmp_path / "bad.safetensors"
-        save_lora_params(lora, p, rank=2, alpha=2.0)
-        with pytest.raises(ValueError, match="outside the backbone"):
-            build_adapter_bank({"bad": str(p)})
+    def test_rejects_unsupported_targets(self, base, tmp_path):
+        """Bankability is judged against the exact target set the batched
+        delta path applies — NOT a tf/ prefix: tf/norm1_w would stack fine
+        and then be silently dropped at serving time, making audio depend on
+        server occupancy (review finding r5)."""
+        from pocket_tts_tpu.training.lora import bankable_lora_targets
+
+        for targets in (("tf/in_proj", "input_w"),      # outside tf entirely
+                        ("tf/in_proj", "tf/norm1_w")):  # tf/ but unsupported
+            lora = _random_lora(base["flow_lm"], rank=2, seed=3,
+                                targets=targets)
+            p = tmp_path / "bad.safetensors"
+            save_lora_params(lora, p, rank=2, alpha=2.0)
+            with pytest.raises(ValueError, match="outside the batched"):
+                build_adapter_bank({"bad": str(p)})
+            # the server's startup gate shares the same definition
+            assert not bankable_lora_targets(
+                [f"{t}/{leaf}" for t in targets for leaf in ("a", "b")])
+        assert bankable_lora_targets(
+            [f"{t}/a" for t in LORA_DEFAULT_TARGETS])
 
     def test_empty(self):
         with pytest.raises(ValueError, match="at least one"):
