@@ -134,17 +134,35 @@ def cmd_batch(args) -> int:
                           f"string, got {type(out_name).__name__}",
                           file=sys.stderr)
                     return 2
-                items.append((text, obj.get("voice"), out_name))
+                items.append((text, obj.get("voice"), out_name,
+                              obj.get("adapter")))
             else:
-                items.append((line, None, None))
+                items.append((line, None, None, None))
     if not items:
         print(f"{args.manifest}: no utterances", file=sys.stderr)
         return 2
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     root = out_dir.resolve()
+    # fine-tuned adapters: --adapter name=path registrations the manifest's
+    # "adapter" fields select; all items ride ONE decode loop (the adapter
+    # bank applies each slot's LoRA delta)
+    reg: dict[str, str] = {}
+    for spec in args.adapter or ():
+        name, sep, path = spec.partition("=")
+        if not sep or not name or not path:
+            print(f"--adapter must be name=path, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        reg[name] = path
+    bad = sorted({a for _, _, _, a in items if a is not None} - set(reg))
+    if bad:
+        print(f"manifest uses unregistered adapters {bad}; register with "
+              f"--adapter name=path", file=sys.stderr)
+        return 2
+
     paths = []
-    for i, (_, _, name) in enumerate(items):
+    for i, (_, _, name, _) in enumerate(items):
         p = out_dir / (name or f"{i:05d}.wav")
         # every output stays inside --out-dir: a manifest is data, and an
         # absolute or ../-escaping "output" must not write elsewhere
@@ -160,25 +178,48 @@ def cmd_batch(args) -> int:
         return 2
 
     model = _load_model(args)
-    resolved: dict[str, object] = {}
+    bank = None
+    adapted_models: dict[str, object] = {}
+    used = sorted({a for _, _, _, a in items if a is not None})
+    if used:
+        from pocket_tts_tpu.training import apply_adapted
+        from pocket_tts_tpu.training.lora import build_adapter_bank
+
+        try:
+            bank = build_adapter_bank({n: reg[n] for n in used})
+        except ValueError as e:
+            print(f"adapter bank: {e}", file=sys.stderr)
+            return 2
+    resolved: dict[tuple, object] = {}
     voices = []
-    for _, spec, _ in items:
+    for _, spec, _, aname in items:
         spec = spec or args.voice
         if spec is None:
             voices.append(None)
             continue
-        if spec not in resolved:  # voice encode is a prefill — dedup it
+        key = (spec, aname)
+        if key not in resolved:  # voice encode is a prefill — dedup it
             try:
-                resolved[spec] = voices_mod.resolve_voice(model, spec)
+                # an explicit voice on an adapter item prefills through THAT
+                # adapter's backbone (same semantics as the server's
+                # per-adapter voice caches); the merged model builds once
+                # per adapter
+                vm = model
+                if aname is not None:
+                    if aname not in adapted_models:
+                        adapted_models[aname] = apply_adapted(model,
+                                                              reg[aname])
+                    vm = adapted_models[aname]
+                resolved[key] = voices_mod.resolve_voice(vm, spec)
             except Exception as e:  # noqa: BLE001
                 # fail before synthesis: unlike generate's warn-and-fallback,
                 # a batch silently re-voiced to the default wastes the run
                 print(f"voice {spec!r} unresolvable: {e}", file=sys.stderr)
                 return 2
-        voices.append(resolved[spec])
+        voices.append(resolved[key])
 
     batcher = batched_tts(model, batch_size=args.batch_size,
-                          chunk_frames=args.chunk_frames)
+                          chunk_frames=args.chunk_frames, adapter_bank=bank)
     n_fail = 0
     total_audio = 0.0
     t0 = time.time()
@@ -202,10 +243,11 @@ def cmd_batch(args) -> int:
                   f"{res.size / model.sample_rate:.2f}s", file=sys.stderr)
 
     try:
-        batcher.generate_batch([t for t, _, _ in items], voices,
+        batcher.generate_batch([t for t, _, _, _ in items], voices,
                                frames_after_eos=args.frames_after_eos,
                                return_exceptions=True, on_result=on_result,
-                               collect=False)
+                               collect=False,
+                               adapters=[a for _, _, _, a in items])
     finally:
         batcher.stop()
     dt = time.time() - t0
@@ -379,6 +421,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--chunk-frames", type=int, default=64,
                    help="decode dispatch size (64 is the throughput chunk)")
     b.add_argument("--quiet", "-q", action="store_true")
+    b.add_argument("--adapter", action="append", metavar="NAME=PATH",
+                   help="register a LoRA adapter the manifest's \"adapter\" "
+                        "field can select (repeatable); items with different "
+                        "adapters synthesize concurrently in one decode loop")
     _add_gen_params(b)
     b.set_defaults(fn=cmd_batch)
 

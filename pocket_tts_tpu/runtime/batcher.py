@@ -537,7 +537,8 @@ class ContinuousBatcher:
     def generate_batch(self, texts, voices=None, gens=None, *,
                        pauses: bool = True, frames_after_eos: int | None = None,
                        return_exceptions: bool = False,
-                       on_result=None, collect: bool = True) -> list:
+                       on_result=None, collect: bool = True,
+                       adapters=None) -> list:
         """Synthesize many utterances concurrently at aggregate throughput.
 
         Every item is submitted up-front so the decode loop keeps all
@@ -562,6 +563,10 @@ class ContinuousBatcher:
         ``on_result`` call (its slot in the returned list is None; exceptions
         are still recorded) — a 10k-utterance manifest would otherwise pin
         every float32 waveform in memory until the call returns.
+
+        ``adapters``: per-item AdapterBank names (None / shared / per-item
+        list like ``voices``) — items with different fine-tuned voices
+        synthesize concurrently in one decode loop.
         """
         texts = list(texts)
         n = len(texts)
@@ -576,6 +581,7 @@ class ContinuousBatcher:
 
         voices = per_item(voices, "voices")
         gens = per_item(gens, "gens")
+        adapters = per_item(adapters, "adapters")
 
         outs: list[queue.Queue | None] = [None] * n
         results: list = [None] * n
@@ -585,7 +591,8 @@ class ContinuousBatcher:
                     outs[i] = self.submit(texts[i], voices[i], gens[i],
                                           pauses=pauses,
                                           latency_sensitive=False,
-                                          frames_after_eos=frames_after_eos)
+                                          frames_after_eos=frames_after_eos,
+                                          adapter=adapters[i])
                 except Exception as e:  # noqa: BLE001
                     if not return_exceptions:
                         raise

@@ -292,6 +292,32 @@ class TestBatcherAdapters:
         n = min(len(refs[0]), len(refs[1]))
         assert not np.allclose(refs[0][:n], refs[1][:n], atol=2e-3)
 
+    def test_generate_batch_per_item_adapters(self, base, bank_paths):
+        """Offline batch synthesis with per-item adapters: mixed items ride
+        one loop and match their merged single-stream models at temp=0."""
+        from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
+
+        paths, loaded = bank_paths
+        bank = build_adapter_bank(paths)
+        model = TTSModel(CFG, base, gen=GenParams(temp=0.0),
+                         has_real_weights=False)
+        b = ContinuousBatcher(model, batch_size=3, chunk_frames=4,
+                              adapter_bank=bank)
+        b.start()
+        try:
+            got = b.generate_batch([self.TEXT] * 3,
+                                   adapters=["one", None, "two"])
+        finally:
+            b.stop()
+        lora, rank, alpha = loaded["one"]
+        merged = {**base, "flow_lm": merge_lora(base["flow_lm"], lora,
+                                                alpha=alpha, rank=rank)}
+        ref = TTSModel(CFG, merged, gen=GenParams(temp=0.0),
+                       has_real_weights=False).generate_with_pauses(self.TEXT)
+        np.testing.assert_allclose(got[0], ref, atol=2e-3)
+        base_ref = model.generate_with_pauses(self.TEXT)
+        np.testing.assert_allclose(got[1], base_ref, atol=2e-3)
+
     def test_unknown_or_bankless_adapter_raises(self, base, bank_paths):
         from pocket_tts_tpu.runtime.batcher import ContinuousBatcher
 

@@ -342,6 +342,45 @@ class TestCLI:
         assert cli.main(["batch", "--manifest", str(bad),
                          "--out-dir", str(out_dir)]) == 2
 
+    def test_batch_manifest_adapters(self, model, tmp_path, monkeypatch):
+        """Manifest items select registered LoRA adapters; mixed items ride
+        one decode loop; unregistered names fail before synthesis."""
+        from pocket_tts_tpu import cli
+        from pocket_tts_tpu.training import finetune, save_lora_params
+
+        rng = np.random.default_rng(9)
+        tuned = finetune(model, [("batch adapter voice",
+                                  rng.normal(size=(2 * 1920,)
+                                             ).astype(np.float32) * 0.1)],
+                         steps=2, batch_size=1, lr=5e-2, log_every=0,
+                         lora_rank=2)
+        factors, rank, alpha = tuned._lora
+        apath = tmp_path / "spk.lora.safetensors"
+        save_lora_params(factors, apath, rank=rank, alpha=alpha)
+
+        manifest = tmp_path / "m.txt"
+        manifest.write_text(
+            '{"text": "Tuned item.", "adapter": "spk", "output": "a.wav"}\n'
+            '{"text": "Base item.", "output": "b.wav"}\n', encoding="utf-8")
+        out_dir = tmp_path / "out"
+        monkeypatch.setattr(cli, "_load_model", lambda args: model)
+        rc = cli.main(["batch", "--manifest", str(manifest),
+                       "--out-dir", str(out_dir), "--batch-size", "2",
+                       "--adapter", f"spk={apath}", "--quiet"])
+        assert rc == 0
+        for name in ("a.wav", "b.wav"):
+            with wave.open(str(out_dir / name), "rb") as f:
+                assert f.getnframes() > 0
+        # unregistered adapter name: clean exit 2 before any synthesis
+        bad = tmp_path / "bad.txt"
+        bad.write_text('{"text": "x", "adapter": "nope"}\n', encoding="utf-8")
+        assert cli.main(["batch", "--manifest", str(bad),
+                         "--out-dir", str(out_dir)]) == 2
+        # malformed --adapter spec
+        assert cli.main(["batch", "--manifest", str(manifest),
+                         "--out-dir", str(out_dir),
+                         "--adapter", "justaname"]) == 2
+
     def test_batch_write_failure_is_per_item(self, model, tmp_path,
                                              monkeypatch):
         """A WAV write error (disk full, bad subdir) fails that ITEM — the
