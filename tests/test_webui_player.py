@@ -125,8 +125,13 @@ def test_stock_voice_picker_and_selectors():
                      "cosette", "eponine", "azelma"]
     assert {val for val, _ in opts if val} == {"__upload__", "__url__"}
     assert "fetch('/health')" in PAGE and "h.adapters" in PAGE
-    for el in ("bufbar", "bufsec", "recv", "wall", "rtf", "state"):
-        assert f'id="{el}"' in PAGE, f"stats element #{el} missing"
+    for el in ("bufbar", "bufsec", "recv", "wall", "rtf", "state",
+               "gen", "chars"):  # gen/chars: SPA generation-time badge +
+        assert f'id="{el}"' in PAGE, f"stats element #{el} missing"  # char count
+    # the generation-time badge must actually be set at stream end, and the
+    # character counter wired to the textarea (App.tsx / buffer-visualizer.tsx)
+    assert re.search(r"\$\('gen'\)\.textContent = \(\(performance\.now", PAGE)
+    assert "$('text').oninput" in PAGE
 
 
 def test_player_drives_real_stream(client):  # noqa: F811
